@@ -1,0 +1,190 @@
+"""Environment map loading: Radiance .hdr (RGBE + RLE), EXR, PNG/JPG.
+
+Re-implements the reference's hand-written RGBE parser
+(/root/reference/src/scene.cu:32-184) in numpy, EXR/PNG via imageio
+(replacing tinyexr/stb, scene.cu:204-281), and the same extension dispatch
+(scene.cu:289-316). Rotation (degrees around Y) and strength are runtime
+scalars carried alongside the pixel grid (scene.h:14-15, 30-31).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class EnvmapLoadError(RuntimeError):
+    pass
+
+
+def decode_rgbe(rgbe: np.ndarray) -> np.ndarray:
+    """[.., 4] uint8 RGBE -> [.., 3] float32 (scene.cu:32-38)."""
+    rgbe = rgbe.astype(np.int32)
+    e = rgbe[..., 3]
+    scale = np.where(e == 0, 0.0, np.ldexp(1.0, e - (128 + 8))).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
+
+
+def load_hdr(path: str) -> np.ndarray:
+    """Radiance .hdr parser with RLE scanlines (scene.cu:40-184)."""
+    with open(path, "rb") as f:
+        data = f.read()
+
+    # Header: lines until blank; require 32-bit_rle_rgbe format.
+    pos = 0
+    format_ok = False
+    while True:
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            raise EnvmapLoadError("Truncated HDR header.")
+        line = data[pos:nl]
+        pos = nl + 1
+        if not line:
+            break
+        if line.startswith(b"FORMAT=") and b"32-bit_rle_rgbe" in line:
+            format_ok = True
+    if not format_ok:
+        raise EnvmapLoadError("Unsupported HDR format (expected 32-bit_rle_rgbe).")
+
+    nl = data.find(b"\n", pos)
+    if nl < 0:
+        raise EnvmapLoadError("Missing HDR resolution line.")
+    parts = data[pos:nl].split()
+    pos = nl + 1
+    if len(parts) != 4 or parts[0] != b"-Y" or parts[2] != b"+X":
+        raise EnvmapLoadError("Invalid HDR resolution line.")
+    height, width = int(parts[1]), int(parts[3])
+    if width <= 0 or height <= 0:
+        raise EnvmapLoadError("Invalid HDR dimensions.")
+
+    pixels = np.zeros((height, width, 3), dtype=np.float32)
+    raw = np.frombuffer(data, dtype=np.uint8)
+
+    for y in range(height):
+        if pos + 4 > len(raw):
+            raise EnvmapLoadError("Unexpected end of HDR file.")
+        header = raw[pos:pos + 4]
+        is_rle = header[0] == 2 and header[1] == 2 and (header[2] & 0x80) == 0
+        scan_w = (int(header[2]) << 8) | int(header[3])
+        if not is_rle or scan_w != width or width < 8 or width > 0x7FFF:
+            # Flat (non-RLE) data: the 4 header bytes are the first pixel.
+            total = width * height
+            flat = np.empty((total, 4), dtype=np.uint8)
+            flat[0] = header
+            need = (total - 1) * 4
+            chunk = raw[pos + 4:pos + 4 + need]
+            if chunk.size < need:
+                raise EnvmapLoadError("Unexpected end of HDR file (flat data).")
+            flat[1:] = chunk.reshape(total - 1, 4)
+            return decode_rgbe(flat).reshape(height, width, 3)
+        pos += 4
+
+        scan = np.zeros((4, width), dtype=np.uint8)
+        for channel in range(4):
+            x = 0
+            while x < width:
+                if pos >= len(raw):
+                    raise EnvmapLoadError("Unexpected end of HDR file (RLE count).")
+                count = int(raw[pos]); pos += 1
+                if count > 128:
+                    run = count - 128
+                    if pos >= len(raw):
+                        raise EnvmapLoadError("Unexpected end of HDR file (RLE value).")
+                    scan[channel, x:x + run] = raw[pos]
+                    pos += 1
+                    x += run
+                else:
+                    run = count
+                    if run == 0 or x + run > width:
+                        raise EnvmapLoadError("Invalid HDR RLE run.")
+                    if pos + run > len(raw):
+                        raise EnvmapLoadError("Unexpected end of HDR file (RLE data).")
+                    scan[channel, x:x + run] = raw[pos:pos + run]
+                    pos += run
+                    x += run
+        pixels[y] = decode_rgbe(scan.T.reshape(width, 4))
+
+    return pixels
+
+
+def _load_exr(path: str) -> np.ndarray:
+    import imageio.v3 as iio
+    img = np.asarray(iio.imread(path)).astype(np.float32)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=-1)
+    return img[..., :3]
+
+
+def _load_ldr(path: str) -> np.ndarray:
+    import imageio.v3 as iio
+    img = np.asarray(iio.imread(path))
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    elif img.dtype == np.uint16:
+        img = img.astype(np.float32) / 65535.0
+    else:
+        img = img.astype(np.float32)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=-1)
+    return img[..., :3]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class EnvmapArrays:
+    """Device view of the environment (EnvironmentDeviceView, scene.h:10-16)."""
+    pixels: jnp.ndarray   # [H, W, 3] f32 (1x1 zeros when invalid)
+    rotation: jnp.ndarray  # scalar f32, degrees around Y
+    strength: jnp.ndarray  # scalar f32
+    is_valid: bool = field(metadata=dict(static=True), default=False)
+
+
+class EnvironmentMap:
+    def __init__(self):
+        self.pixels: np.ndarray | None = None  # [H, W, 3] f32
+        self.rotation = 0.0
+        self.strength = 1.0
+
+    @property
+    def is_valid(self) -> bool:
+        return self.pixels is not None and self.pixels.size > 0
+
+    @property
+    def width(self) -> int:
+        return 0 if self.pixels is None else self.pixels.shape[1]
+
+    @property
+    def height(self) -> int:
+        return 0 if self.pixels is None else self.pixels.shape[0]
+
+    def load_from_file(self, path: str) -> None:
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".exr":
+            self.pixels = _load_exr(path)
+        elif ext in (".png", ".jpg", ".jpeg"):
+            self.pixels = _load_ldr(path)
+        else:
+            self.pixels = load_hdr(path)
+
+    def set_rotation(self, rotation_deg: float):
+        self.rotation = float(rotation_deg)
+
+    def set_strength(self, strength: float):
+        self.strength = float(strength)
+
+    def to_arrays(self) -> EnvmapArrays:
+        if self.is_valid:
+            pix = jnp.asarray(self.pixels, jnp.float32)
+        else:
+            pix = jnp.zeros((1, 1, 3), jnp.float32)
+        return EnvmapArrays(
+            pixels=pix,
+            rotation=jnp.float32(self.rotation),
+            strength=jnp.float32(self.strength),
+            is_valid=self.is_valid,
+        )

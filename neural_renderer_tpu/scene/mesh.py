@@ -1,0 +1,238 @@
+"""Mesh container: host-side buffers + device-ready SoA arrays.
+
+Host `Mesh` mirrors the reference container (/root/reference/src/mesh.h:80-185):
+indexed geometry, optional per-vertex normals/uvs, per-primitive material
+ranges, textures, and a `build_bvh()` that reorders triangles into BVH leaf
+order. The CUDA `uploadToDevice()/deviceView()` pointer-packing
+(mesh.cu:91-261) is replaced by `to_arrays()`, which emits a `MeshArrays`
+pytree of jnp arrays (SoA in HBM) that jitted pipelines close over.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .bvh import BvhArrays, build_bvh, remap_material_ranges
+from .materials import Material, MaterialTable
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class MeshArrays:
+    """Device-side mesh: geometry + BVH + material tables as flat arrays.
+
+    The static metadata (flags, counts) is jit-compile-time constant so XLA
+    specializes each mesh's trace code; the arrays live in HBM.
+    """
+    # Geometry
+    vertices: jnp.ndarray      # [V, 3] f32
+    normals: jnp.ndarray       # [V, 3] f32 (zeros when has_normals=False)
+    uvs: jnp.ndarray           # [V, 2] f32 (zeros when has_uvs=False)
+    indices: jnp.ndarray       # [T, 3] i32
+    tri_material: jnp.ndarray  # [T] i32, -1 = use global material
+    # BVH (flat binary nodes, reference BvhNode layout, bvh_data.h:5-13)
+    bvh_bounds_min: jnp.ndarray  # [N, 3] f32
+    bvh_bounds_max: jnp.ndarray  # [N, 3] f32
+    bvh_left: jnp.ndarray        # [N] i32
+    bvh_right: jnp.ndarray       # [N] i32
+    bvh_first: jnp.ndarray       # [N] i32
+    bvh_count: jnp.ndarray       # [N] i32
+    bvh_is_leaf: jnp.ndarray     # [N] i32
+    # Materials
+    mat_scalars: jnp.ndarray   # [M, NUM_SCALARS] f32
+    mat_tex_ids: jnp.ndarray   # [M, NUM_TEX_SLOTS] i32
+    mat_tex_chans: jnp.ndarray  # [M, NUM_TEX_SLOTS] i32
+    atlas: jnp.ndarray         # [P, 3] f32
+    tex_offset: jnp.ndarray    # [Ntex] i32
+    tex_width: jnp.ndarray     # [Ntex] i32
+    tex_height: jnp.ndarray    # [Ntex] i32
+    # Static metadata
+    has_normals: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    has_uvs: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    has_materials: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    has_textures: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    texture_nearest: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    is_empty: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    max_depth: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.bvh_left.shape[0])
+
+
+class Mesh:
+    """Host-side mesh with CPU buffers and dirty-flag BVH build."""
+
+    def __init__(self):
+        self.vertices = np.zeros((0, 3), dtype=np.float32)
+        self.normals = np.zeros((0, 3), dtype=np.float32)
+        self.texcoords = np.zeros((0, 2), dtype=np.float32)
+        self.indices = np.zeros((0, 3), dtype=np.uint32)
+        self.materials: list[Material] = []
+        self.material_map = np.zeros(0, dtype=np.uint32)   # first tri per primitive
+        self.material_ids = np.zeros(0, dtype=np.int32)    # material per primitive
+        self.has_mesh_materials = False
+        self.textures: list[np.ndarray] = []
+        self.texture_nearest = False
+        # BVH cache
+        self._bvh: BvhArrays | None = None
+        self._tri_material: np.ndarray | None = None
+        self._bvh_dirty = True
+        self._bounds: tuple[np.ndarray, np.ndarray] | None = None
+
+    # -- stats ---------------------------------------------------------------
+    @property
+    def num_triangles(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def num_vertices(self) -> int:
+        return int(self.vertices.shape[0])
+
+    @property
+    def has_normals(self) -> bool:
+        return self.normals.shape[0] > 0
+
+    @property
+    def has_texcoords(self) -> bool:
+        return self.texcoords.shape[0] > 0
+
+    def mark_dirty(self):
+        self._bvh_dirty = True
+        self._bounds = None
+
+    # -- transforms (ref: mesh_loader.cpp:56-82) ------------------------------
+    def normalize(self):
+        """Center at origin and scale so max extent = 10 (normalizeMesh)."""
+        if self.num_vertices == 0:
+            return
+        vmin = self.vertices.min(axis=0)
+        vmax = self.vertices.max(axis=0)
+        extent = float((vmax - vmin).max())
+        if extent <= 0.0:
+            return
+        center = 0.5 * (vmin + vmax)
+        self.vertices = ((self.vertices - center) * (2.0 / extent * 5.0)).astype(np.float32)
+        self.mark_dirty()
+
+    def scale(self, s: float):
+        if s == 1.0:
+            return
+        self.vertices = (self.vertices * np.float32(s)).astype(np.float32)
+        self.mark_dirty()
+
+    # -- bounds ---------------------------------------------------------------
+    def bounds(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._bounds is None:
+            if self.num_vertices == 0:
+                z = np.zeros(3, dtype=np.float32)
+                self._bounds = (z, z)
+            else:
+                self._bounds = (
+                    self.vertices.min(axis=0).astype(np.float32),
+                    self.vertices.max(axis=0).astype(np.float32),
+                )
+        return self._bounds
+
+    # -- BVH ------------------------------------------------------------------
+    def build_bvh(self, max_leaf_size: int = 4) -> BvhArrays:
+        """Build (or return cached) SAH BVH; reorders self.indices to leaf
+        order and remaps material ranges (ref: mesh_bvh.cpp:27-162)."""
+        if not self._bvh_dirty and self._bvh is not None:
+            return self._bvh
+        t = self.num_triangles
+        if t == 0:
+            self._bvh = BvhArrays(
+                bounds_min=np.zeros((1, 3), np.float32),
+                bounds_max=np.zeros((1, 3), np.float32),
+                left=np.full(1, -1, np.int32), right=np.full(1, -1, np.int32),
+                first=np.zeros(1, np.int32), count=np.zeros(1, np.int32),
+                is_leaf=np.ones(1, np.int32))
+            self._tri_material = np.zeros(0, np.int32)
+            self._bvh_dirty = False
+            return self._bvh
+
+        tri = self.vertices[self.indices.astype(np.int64)]  # [T, 3, 3]
+        tri_min = tri.min(axis=1)
+        tri_max = tri.max(axis=1)
+        bvh, perm = build_bvh(tri_min, tri_max, max_leaf_size=max_leaf_size)
+        self.indices = self.indices[perm]
+        mmap, mids, per_tri = remap_material_ranges(
+            self.material_map, self.material_ids, perm, t)
+        self.material_map = mmap.astype(np.uint32)
+        self.material_ids = mids.astype(np.int32)
+        self._tri_material = per_tri
+        self._bvh = bvh
+        self._bvh_dirty = False
+        return bvh
+
+    def tri_material(self) -> np.ndarray:
+        if self._tri_material is None or self._bvh_dirty:
+            self.build_bvh()
+        return self._tri_material
+
+    # -- device export ---------------------------------------------------------
+    def to_arrays(self, dtype=jnp.float32) -> MeshArrays:
+        bvh = self.build_bvh()
+        is_empty = self.num_triangles == 0
+        v = max(1, self.num_vertices)
+        t = max(1, self.num_triangles)
+        vertices = np.zeros((v, 3), np.float32)
+        vertices[:self.num_vertices] = self.vertices
+        normals = np.zeros((v, 3), np.float32)
+        if self.has_normals:
+            normals[:self.normals.shape[0]] = self.normals
+        uvs = np.zeros((v, 2), np.float32)
+        if self.has_texcoords:
+            uvs[:self.texcoords.shape[0]] = self.texcoords
+        indices = np.zeros((t, 3), np.int32)
+        indices[:self.num_triangles] = self.indices.astype(np.int32)
+        tri_material = np.full(t, -1, np.int32)
+        tm = self.tri_material()
+        tri_material[:tm.shape[0]] = tm
+
+        table = MaterialTable.build(self.materials, self.textures,
+                                    texture_nearest=self.texture_nearest)
+
+        return MeshArrays(
+            vertices=jnp.asarray(vertices, dtype),
+            normals=jnp.asarray(normals, dtype),
+            uvs=jnp.asarray(uvs, dtype),
+            indices=jnp.asarray(indices),
+            tri_material=jnp.asarray(tri_material),
+            bvh_bounds_min=jnp.asarray(bvh.bounds_min, dtype),
+            bvh_bounds_max=jnp.asarray(bvh.bounds_max, dtype),
+            bvh_left=jnp.asarray(bvh.left),
+            bvh_right=jnp.asarray(bvh.right),
+            bvh_first=jnp.asarray(bvh.first),
+            bvh_count=jnp.asarray(bvh.count),
+            bvh_is_leaf=jnp.asarray(bvh.is_leaf),
+            mat_scalars=jnp.asarray(table.scalars, dtype),
+            mat_tex_ids=jnp.asarray(table.tex_ids),
+            mat_tex_chans=jnp.asarray(table.tex_chans),
+            atlas=jnp.asarray(table.atlas, dtype),
+            tex_offset=jnp.asarray(table.tex_offset),
+            tex_width=jnp.asarray(table.tex_width),
+            tex_height=jnp.asarray(table.tex_height),
+            has_normals=self.has_normals,
+            has_uvs=self.has_texcoords,
+            has_materials=self.has_mesh_materials and len(self.materials) > 0,
+            has_textures=len(self.textures) > 0,
+            texture_nearest=self.texture_nearest,
+            is_empty=is_empty,
+            max_depth=bvh.depth(),
+        )
+
+    @staticmethod
+    def empty() -> "Mesh":
+        return Mesh()

@@ -1,0 +1,502 @@
+"""Mesh loading: glTF/GLB with PBR materials, OBJ, and the UV-sphere fixture.
+
+Re-implements the reference's loader semantics
+(/root/reference/src/mesh_loader.cpp) without TinyGLTF/Assimp (neither is
+available here): a self-contained glTF 2.0 parser (JSON + GLB chunks + data
+URIs) and an OBJ parser. Behavioral parity notes:
+
+  * glTF: recursive node traversal with TRS/matrix transforms and
+    quaternion->matrix conversion (mesh_loader.cpp:409-569); per-primitive
+    material ranges recorded in material_map/material_ids (:466, :563);
+    baseColorTexture marks the texture sRGB (:242-247); metallicRoughness
+    texture channels are read as B=metallic, G=roughness but then FORCE
+    DISABLED, matching the reference's quirk (:263-300); normal and emissive
+    maps plus KHR transmission/IOR/emissive-strength extensions (:303-353).
+  * OBJ: geometry only, single primitive with global material (-1), smooth
+    vertex normals generated when absent (Assimp aiProcess_GenNormals
+    equivalent, :622-627).
+  * normalize fits the mesh to ~10 units (:56-75); scale is uniform (:77-82).
+  * generate_uv_sphere matches :719-764 exactly (winding included).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import math
+import os
+import struct
+import sys
+
+import numpy as np
+
+from .materials import Material, MaterialParam, MaterialParamVec3
+from .mesh import Mesh
+
+
+class MeshLoadError(RuntimeError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# glTF 2.0
+# ---------------------------------------------------------------------------
+
+_GLTF_DTYPES = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16,
+    5123: np.uint16, 5125: np.uint32, 5126: np.float32,
+}
+_GLTF_NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+               "MAT2": 4, "MAT3": 9, "MAT4": 16}
+
+
+def _read_glb(path: str) -> tuple[dict, bytes | None]:
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version, _length = struct.unpack_from("<III", data, 0)
+    if magic != 0x46546C67:
+        raise MeshLoadError(f"not a GLB file: {path}")
+    offset = 12
+    gltf_json, binary = None, None
+    while offset + 8 <= len(data):
+        chunk_len, chunk_type = struct.unpack_from("<II", data, offset)
+        offset += 8
+        chunk = data[offset:offset + chunk_len]
+        offset += chunk_len
+        if chunk_type == 0x4E4F534A:  # 'JSON'
+            gltf_json = json.loads(chunk.decode("utf-8"))
+        elif chunk_type == 0x004E4942:  # 'BIN\0'
+            binary = chunk
+    if gltf_json is None:
+        raise MeshLoadError(f"GLB file has no JSON chunk: {path}")
+    return gltf_json, binary
+
+
+def _load_buffers(gltf: dict, base_dir: str, glb_bin: bytes | None) -> list[bytes]:
+    buffers = []
+    for buf in gltf.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            buffers.append(glb_bin or b"")
+        elif uri.startswith("data:"):
+            b64 = uri.split(",", 1)[1]
+            buffers.append(base64.b64decode(b64))
+        else:
+            from urllib.parse import unquote
+            with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
+                buffers.append(f.read())
+    return buffers
+
+
+def _read_accessor(gltf: dict, buffers: list[bytes], accessor_idx: int) -> np.ndarray:
+    acc = gltf["accessors"][accessor_idx]
+    ncomp = _GLTF_NCOMP[acc["type"]]
+    dtype = _GLTF_DTYPES[acc["componentType"]]
+    count = acc["count"]
+    itemsize = np.dtype(dtype).itemsize
+    out = np.zeros((count, ncomp), dtype=dtype)
+    if "bufferView" in acc:
+        view = gltf["bufferViews"][acc["bufferView"]]
+        buf = buffers[view["buffer"]]
+        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = view.get("byteStride") or ncomp * itemsize
+        if stride == ncomp * itemsize:
+            raw = np.frombuffer(buf, dtype=dtype, count=count * ncomp, offset=start)
+            out = raw.reshape(count, ncomp).copy()
+        else:
+            for i in range(count):
+                off = start + i * stride
+                out[i] = np.frombuffer(buf, dtype=dtype, count=ncomp, offset=off)
+    # Sparse accessors
+    sparse = acc.get("sparse")
+    if sparse:
+        sc = sparse["count"]
+        iview = gltf["bufferViews"][sparse["indices"]["bufferView"]]
+        ibuf = buffers[iview["buffer"]]
+        idt = _GLTF_DTYPES[sparse["indices"]["componentType"]]
+        ioff = iview.get("byteOffset", 0) + sparse["indices"].get("byteOffset", 0)
+        sidx = np.frombuffer(ibuf, dtype=idt, count=sc, offset=ioff).astype(np.int64)
+        vview = gltf["bufferViews"][sparse["values"]["bufferView"]]
+        vbuf = buffers[vview["buffer"]]
+        voff = vview.get("byteOffset", 0) + sparse["values"].get("byteOffset", 0)
+        svals = np.frombuffer(vbuf, dtype=dtype, count=sc * ncomp, offset=voff).reshape(sc, ncomp)
+        out[sidx] = svals
+    return out
+
+
+def _trs_matrix(node: dict) -> np.ndarray:
+    """Node transform, column-major 4x4 as a numpy [4,4] row-major matrix M
+    with points transformed as M @ p (mesh_loader.cpp:414-453)."""
+    if "matrix" in node:
+        return np.asarray(node["matrix"], dtype=np.float64).reshape(4, 4).T
+    m = np.eye(4)
+    if "scale" in node:
+        s = node["scale"]
+        ms = np.diag([s[0], s[1], s[2], 1.0])
+        m = ms @ m
+    if "rotation" in node:
+        qx, qy, qz, qw = node["rotation"]
+        r = np.eye(4)
+        r[0, 0] = 1 - 2 * (qy * qy + qz * qz)
+        r[1, 0] = 2 * (qx * qy + qz * qw)
+        r[2, 0] = 2 * (qx * qz - qy * qw)
+        r[0, 1] = 2 * (qx * qy - qz * qw)
+        r[1, 1] = 1 - 2 * (qx * qx + qz * qz)
+        r[2, 1] = 2 * (qy * qz + qx * qw)
+        r[0, 2] = 2 * (qx * qz + qy * qw)
+        r[1, 2] = 2 * (qy * qz - qx * qw)
+        r[2, 2] = 1 - 2 * (qx * qx + qy * qy)
+        m = r @ m
+    if "translation" in node:
+        t = np.eye(4)
+        t[:3, 3] = node["translation"]
+        m = t @ m
+    return m
+
+
+def _load_gltf_image(gltf: dict, buffers: list[bytes], base_dir: str,
+                     image: dict) -> np.ndarray | None:
+    import imageio.v3 as iio
+    try:
+        if "uri" in image:
+            uri = image["uri"]
+            if uri.startswith("data:"):
+                raw = base64.b64decode(uri.split(",", 1)[1])
+                return np.asarray(iio.imread(raw))
+            from urllib.parse import unquote
+            return np.asarray(iio.imread(os.path.join(base_dir, unquote(uri))))
+        if "bufferView" in image:
+            view = gltf["bufferViews"][image["bufferView"]]
+            buf = buffers[view["buffer"]]
+            start = view.get("byteOffset", 0)
+            raw = bytes(buf[start:start + view["byteLength"]])
+            return np.asarray(iio.imread(raw))
+    except Exception as e:  # pragma: no cover - corrupt assets
+        print(f"GLTF Warning: failed to load image: {e}", file=sys.stderr)
+    return None
+
+
+def _gltf_material(gmat: dict, textures_src: list[int]) -> Material:
+    """Convert one glTF material (mesh_loader.cpp:229-356 semantics)."""
+    mat = Material.default()
+    pbr = gmat.get("pbrMetallicRoughness", {})
+    bcf = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+    mat.base_color = MaterialParamVec3.constant(bcf[:3])
+    bct = pbr.get("baseColorTexture")
+    if bct is not None and bct.get("index", -1) >= 0:
+        src = textures_src[bct["index"]]
+        if src >= 0:
+            mat.base_color = MaterialParamVec3.texture(src)
+
+    mat.metallic = MaterialParam.constant(pbr.get("metallicFactor", 1.0))
+    mat.roughness = MaterialParam.constant(pbr.get("roughnessFactor", 1.0))
+    # The reference reads the metallicRoughness texture (B=metal, G=rough)
+    # then force-disables it (mesh_loader.cpp:298-300); we simply keep the
+    # constant factors for identical behavior.
+
+    nt = gmat.get("normalTexture")
+    if nt is not None and nt.get("index", -1) >= 0:
+        src = textures_src[nt["index"]]
+        if src >= 0:
+            mat.normal = MaterialParamVec3.texture(src)
+
+    emissive = gmat.get("emissiveFactor")
+    if emissive:
+        mat.base_emission = MaterialParamVec3.constant(emissive)
+        et = gmat.get("emissiveTexture")
+        if et is not None and et.get("index", -1) >= 0:
+            src = textures_src[et["index"]]
+            if src >= 0:
+                mat.base_emission = MaterialParamVec3(
+                    value=tuple(emissive), texture_id=src)
+
+    ext = gmat.get("extensions", {})
+    if "KHR_materials_transmission" in ext:
+        mat.specular_transmission = float(
+            ext["KHR_materials_transmission"].get("transmissionFactor", 0.0))
+    if "KHR_materials_ior" in ext:
+        mat.ior = float(ext["KHR_materials_ior"].get("ior", 1.5))
+    if "KHR_materials_emissive_strength" in ext:
+        mat.emission_scale = float(
+            ext["KHR_materials_emissive_strength"].get("emissiveStrength", 1.0))
+    return mat
+
+
+def load_gltf_with_materials(path: str, normalize: bool = False,
+                             scale: float = 1.0) -> Mesh:
+    base_dir = os.path.dirname(os.path.abspath(path))
+    if path.lower().endswith(".glb"):
+        gltf, glb_bin = _read_glb(path)
+    else:
+        with open(path, "r") as f:
+            gltf = json.load(f)
+        glb_bin = None
+    buffers = _load_buffers(gltf, base_dir, glb_bin)
+
+    mesh = Mesh()
+
+    # Textures: images loaded eagerly; texture index -> image source index.
+    for image in gltf.get("images", []):
+        img = _load_gltf_image(gltf, buffers, base_dir, image)
+        if img is None:
+            img = np.zeros((1, 1, 3), dtype=np.uint8)
+        mesh.textures.append(img)
+    textures_src = [t.get("source", -1) for t in gltf.get("textures", [])]
+
+    for gmat in gltf.get("materials", []):
+        mesh.materials.append(_gltf_material(gmat, textures_src))
+    if not mesh.materials:
+        mesh.materials.append(Material.default())
+    mesh.has_mesh_materials = True
+
+    vertices, normals, uvs, indices = [], [], [], []
+    material_map, material_ids = [], []
+
+    def process_node(node_idx: int, parent: np.ndarray):
+        node = gltf["nodes"][node_idx]
+        world = parent @ _trs_matrix(node)
+        if "mesh" in node:
+            gmesh = gltf["meshes"][node["mesh"]]
+            for prim in gmesh.get("primitives", []):
+                if prim.get("mode", 4) != 4:  # TRIANGLES only
+                    continue
+                attrs = prim.get("attributes", {})
+                if "POSITION" not in attrs:
+                    continue
+                material_map.append(sum(len(f) for f in indices))
+                base_vertex = sum(len(v) for v in vertices)
+
+                pos = _read_accessor(gltf, buffers, attrs["POSITION"]).astype(np.float64)
+                n = pos.shape[0]
+                pos_w = (world[:3, :3] @ pos.T).T + world[:3, 3]
+                vertices.append(pos_w.astype(np.float32))
+
+                if "NORMAL" in attrs:
+                    nor = _read_accessor(gltf, buffers, attrs["NORMAL"]).astype(np.float64)
+                    nor_w = (world[:3, :3] @ nor.T).T
+                    lens = np.linalg.norm(nor_w, axis=1, keepdims=True)
+                    nor_w = np.where(lens > 1e-8, nor_w / np.maximum(lens, 1e-20),
+                                     np.array([0.0, 1.0, 0.0]))
+                    normals.append(nor_w.astype(np.float32))
+                else:
+                    d = np.zeros((n, 3), np.float32)
+                    d[:, 1] = 1.0
+                    normals.append(d)
+
+                if "TEXCOORD_0" in attrs:
+                    uv = _read_accessor(gltf, buffers, attrs["TEXCOORD_0"])
+                    if uv.dtype == np.uint8:
+                        uv = uv.astype(np.float32) / 255.0
+                    elif uv.dtype == np.uint16:
+                        uv = uv.astype(np.float32) / 65535.0
+                    uvs.append(uv[:, :2].astype(np.float32))
+                else:
+                    uvs.append(np.zeros((n, 2), np.float32))
+
+                if "indices" in prim and prim["indices"] >= 0:
+                    idx = _read_accessor(gltf, buffers, prim["indices"]).reshape(-1)
+                    ntri = idx.shape[0] // 3
+                    tris = idx[:ntri * 3].reshape(ntri, 3).astype(np.uint32)
+                else:
+                    ntri = n // 3
+                    tris = np.arange(ntri * 3, dtype=np.uint32).reshape(ntri, 3)
+                indices.append(tris + np.uint32(base_vertex))
+                material_ids.append(prim.get("material", 0) if prim.get("material", -1) >= 0 else 0)
+        for child in node.get("children", []):
+            process_node(child, world)
+
+    for scene_desc in gltf.get("scenes", []):
+        for node_idx in scene_desc.get("nodes", []):
+            process_node(node_idx, np.eye(4))
+
+    if not indices or sum(len(f) for f in indices) == 0:
+        raise MeshLoadError(f"No triangles found in GLTF file: {path}")
+
+    mesh.vertices = np.concatenate(vertices, axis=0)
+    mesh.normals = np.concatenate(normals, axis=0)
+    mesh.texcoords = np.concatenate(uvs, axis=0)
+    mesh.indices = np.concatenate(indices, axis=0)
+    mesh.material_map = np.asarray(material_map, dtype=np.uint32)
+    mesh.material_ids = np.asarray(material_ids, dtype=np.int32)
+
+    if normalize:
+        mesh.normalize()
+    if scale != 1.0:
+        mesh.scale(scale)
+    mesh.mark_dirty()
+    return mesh
+
+
+# ---------------------------------------------------------------------------
+# OBJ (geometry only, like the reference's Assimp path)
+# ---------------------------------------------------------------------------
+
+def load_obj(path: str, normalize: bool = False, scale: float = 1.0) -> Mesh:
+    positions, tex, norms = [], [], []
+    faces = []  # list of lists of (vi, ti, ni)
+
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                positions.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("vt "):
+                parts = line.split()
+                tex.append([float(parts[1]), float(parts[2]) if len(parts) > 2 else 0.0])
+            elif line.startswith("vn "):
+                parts = line.split()
+                norms.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                corners = []
+                for tok in line.split()[1:]:
+                    comps = tok.split("/")
+                    vi = int(comps[0])
+                    ti = int(comps[1]) if len(comps) > 1 and comps[1] else 0
+                    ni = int(comps[2]) if len(comps) > 2 and comps[2] else 0
+                    corners.append((vi, ti, ni))
+                faces.append(corners)
+
+    if not faces:
+        raise MeshLoadError(f"No triangles found in mesh: {path}")
+
+    npos, ntex, nnorm = len(positions), len(tex), len(norms)
+
+    def fix(i, n):
+        return i - 1 if i > 0 else (n + i if i < 0 else -1)
+
+    # Join identical (v, vt, vn) triples into unified vertices.
+    vert_cache: dict[tuple, int] = {}
+    out_pos, out_uv, out_norm, out_idx = [], [], [], []
+
+    def vertex_id(corner):
+        vi = fix(corner[0], npos)
+        ti = fix(corner[1], ntex)
+        ni = fix(corner[2], nnorm)
+        key = (vi, ti, ni)
+        cached = vert_cache.get(key)
+        if cached is not None:
+            return cached
+        idx = len(out_pos)
+        vert_cache[key] = idx
+        out_pos.append(positions[vi])
+        out_uv.append(tex[ti] if ti >= 0 else [0.0, 0.0])
+        out_norm.append(norms[ni] if ni >= 0 else None)
+        return idx
+
+    for corners in faces:
+        ids = [vertex_id(c) for c in corners]
+        for k in range(1, len(ids) - 1):  # fan triangulation
+            out_idx.append((ids[0], ids[k], ids[k + 1]))
+
+    mesh = Mesh()
+    mesh.vertices = np.asarray(out_pos, dtype=np.float32)
+    mesh.indices = np.asarray(out_idx, dtype=np.uint32)
+    if ntex > 0:
+        mesh.texcoords = np.asarray(out_uv, dtype=np.float32)
+
+    have_norms = nnorm > 0 and all(n is not None for n in out_norm)
+    if have_norms:
+        nr = np.asarray(out_norm, dtype=np.float32)
+        lens = np.linalg.norm(nr, axis=1, keepdims=True)
+        mesh.normals = np.where(lens > 1e-8, nr / np.maximum(lens, 1e-20),
+                                np.array([0, 1, 0], np.float32)).astype(np.float32)
+    else:
+        mesh.normals = _smooth_normals(mesh.vertices, mesh.indices)
+
+    # Single primitive using the global material (mesh_loader.cpp:636-637).
+    mesh.material_map = np.zeros(1, dtype=np.uint32)
+    mesh.material_ids = np.full(1, -1, dtype=np.int32)
+    mesh.has_mesh_materials = False
+
+    if normalize:
+        mesh.normalize()
+    if scale != 1.0:
+        mesh.scale(scale)
+    mesh.mark_dirty()
+    return mesh
+
+
+def _smooth_normals(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth vertex normals (Assimp GenNormals equivalent)."""
+    idx = indices.astype(np.int64)
+    v0 = vertices[idx[:, 0]]
+    v1 = vertices[idx[:, 1]]
+    v2 = vertices[idx[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)
+    normals = np.zeros_like(vertices)
+    for c in range(3):
+        np.add.at(normals, idx[:, c], fn)
+    lens = np.linalg.norm(normals, axis=1, keepdims=True)
+    return np.where(lens > 1e-8, normals / np.maximum(lens, 1e-20),
+                    np.array([0, 1, 0], np.float32)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + fixtures
+# ---------------------------------------------------------------------------
+
+def load_mesh_from_file(path: str, normalize: bool = False, scale: float = 1.0) -> Mesh:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".obj":
+        return load_obj(path, normalize=normalize, scale=scale)
+    raise MeshLoadError(f"Unsupported mesh format '{ext}': {path}")
+
+
+def load_mesh_auto(path: str, normalize: bool = False, scale: float = 1.0) -> Mesh:
+    """Extension dispatch (mesh_loader.cpp:697-713)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".gltf", ".glb"):
+        return load_gltf_with_materials(path, normalize=normalize, scale=scale)
+    return load_mesh_from_file(path, normalize=normalize, scale=scale)
+
+
+def load_mesh_labeled(path: str, label: str, normalize: bool = False,
+                      nearest_tex: bool = False, scale: float = 1.0) -> Mesh | None:
+    """Convenience wrapper mirroring LoadMeshLabeled (mesh_loader.h:39-50)."""
+    if not path:
+        return None
+    try:
+        mesh = load_mesh_auto(path, normalize=normalize, scale=scale)
+    except (OSError, MeshLoadError) as e:
+        print(f"Failed to load {label} mesh '{path}': {e}", file=sys.stderr)
+        return None
+    mesh.texture_nearest = nearest_tex
+    return mesh
+
+
+def generate_uv_sphere(stacks: int, slices: int, radius: float) -> Mesh:
+    """Procedural UV sphere (mesh_loader.cpp:719-764)."""
+    mesh = Mesh()
+    if stacks < 2 or slices < 3:
+        return mesh
+    verts, normals, uvs = [], [], []
+    for i in range(stacks + 1):
+        v = i / stacks
+        phi = v * math.pi
+        for j in range(slices + 1):
+            u = j / slices
+            theta = u * 2.0 * math.pi
+            x = math.sin(phi) * math.cos(theta)
+            y = math.cos(phi)
+            z = math.sin(phi) * math.sin(theta)
+            verts.append([x * radius, y * radius, z * radius])
+            normals.append([x, y, z])
+            uvs.append([u, v])
+    idx = []
+    for i in range(stacks):
+        for j in range(slices):
+            p0 = i * (slices + 1) + j
+            p1 = p0 + 1
+            p2 = p0 + (slices + 1)
+            p3 = p2 + 1
+            idx.append([p0, p2, p1])
+            idx.append([p1, p2, p3])
+    mesh.vertices = np.asarray(verts, dtype=np.float32)
+    mesh.normals = np.asarray(normals, dtype=np.float32)
+    mesh.texcoords = np.asarray(uvs, dtype=np.float32)
+    mesh.indices = np.asarray(idx, dtype=np.uint32)
+    mesh.material_map = np.zeros(1, dtype=np.uint32)
+    mesh.material_ids = np.full(1, -1, dtype=np.int32)
+    mesh.has_mesh_materials = False
+    mesh.mark_dirty()
+    return mesh
