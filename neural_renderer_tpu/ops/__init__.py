@@ -1,0 +1,1 @@
+from . import brdf, camera, envlight, intersect, linalg, rng, srgb, traversal

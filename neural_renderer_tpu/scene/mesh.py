@@ -44,6 +44,11 @@ class MeshArrays:
     bvh_first: jnp.ndarray       # [N] i32
     bvh_count: jnp.ndarray       # [N] i32
     bvh_is_leaf: jnp.ndarray     # [N] i32
+    # Threaded-DFS skip links: next node when the current subtree is done.
+    # This replaces the reference's 256-deep per-thread traversal stack
+    # (mesh_traversal.cuh:137-139) with a stackless scheme — uniform control
+    # flow and no per-lane scatter, which is what the TPU VPU wants.
+    bvh_skip: jnp.ndarray        # [N] i32 (-1 terminates traversal)
     # Materials
     mat_scalars: jnp.ndarray   # [M, NUM_SCALARS] f32
     mat_tex_ids: jnp.ndarray   # [M, NUM_TEX_SLOTS] i32
@@ -60,6 +65,8 @@ class MeshArrays:
     texture_nearest: bool = dataclasses.field(metadata=dict(static=True), default=False)
     is_empty: bool = dataclasses.field(metadata=dict(static=True), default=False)
     max_depth: int = dataclasses.field(metadata=dict(static=True), default=0)
+    max_leaf: int = dataclasses.field(metadata=dict(static=True), default=4)
+    has_normal_maps: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def num_triangles(self) -> int:
@@ -203,6 +210,9 @@ class Mesh:
 
         table = MaterialTable.build(self.materials, self.textures,
                                     texture_nearest=self.texture_nearest)
+        skip = _compute_skip_links(bvh)
+        has_normal_maps = (len(self.textures) > 0 and
+                           any(m.normal.textured for m in self.materials))
 
         return MeshArrays(
             vertices=jnp.asarray(vertices, dtype),
@@ -217,6 +227,7 @@ class Mesh:
             bvh_first=jnp.asarray(bvh.first),
             bvh_count=jnp.asarray(bvh.count),
             bvh_is_leaf=jnp.asarray(bvh.is_leaf),
+            bvh_skip=jnp.asarray(skip),
             mat_scalars=jnp.asarray(table.scalars, dtype),
             mat_tex_ids=jnp.asarray(table.tex_ids),
             mat_tex_chans=jnp.asarray(table.tex_chans),
@@ -231,8 +242,30 @@ class Mesh:
             texture_nearest=self.texture_nearest,
             is_empty=is_empty,
             max_depth=bvh.depth(),
+            max_leaf=max(1, bvh.max_leaf_count()),
+            has_normal_maps=has_normal_maps,
         )
 
     @staticmethod
     def empty() -> "Mesh":
         return Mesh()
+
+
+def _compute_skip_links(bvh: BvhArrays) -> np.ndarray:
+    """Skip link per node: where a DFS continues after this subtree.
+
+    For internal node n with children (l, r): entering n descends to l;
+    skip[l] = r and skip[r] = skip[n], so a leaf/missed node always jumps to
+    the next unvisited subtree. skip[root] = -1 terminates.
+    """
+    n = bvh.num_nodes
+    skip = np.full(n, -1, dtype=np.int32)
+    stack = [(0, -1)]
+    while stack:
+        node, cont = stack.pop()
+        skip[node] = cont
+        if not bvh.is_leaf[node]:
+            left, right = int(bvh.left[node]), int(bvh.right[node])
+            stack.append((right, cont))
+            stack.append((left, right))
+    return skip
