@@ -1,0 +1,194 @@
+"""The neural intersection network ("NBVH shell network").
+
+Architecture parity with the reference's tcnn NetworkWithInputEncoding
+(/root/reference/src/cuda_renderer_neural.cu:1632-1718):
+  input [entry.xyz | exit.xyz | mid.xyz | dir.xyz]  (12 dims)
+  Composite encoding = 3x HashGrid(8 levels, 4 feat, 2.0x/level) + SH degree 4
+    -> 3*32 + 16 = 112 features
+  FullyFusedMLP: 128 wide, 4 hidden layers, LeakyReLU, no biases,
+    5 requested outputs padded to 16.
+Outputs (applySegmentNeuralOutputKernel, :1037-1044): [0]=presence logit,
+[1]=distance from (shifted) segment entry, [2:5]=normal, [5:8]=color (only
+meaningful for 8-output checkpoints — the stock network carries padding
+there, SURVEY.md §2.2 note).
+
+Weight-blob IO matches loadWeightsFromFile (:1752-1808): flat FP16 file of
+[mlp | hg] (or [hg | mlp] when swap_param_order), a SINGLE hash grid tiled
+into all three encoder slots.
+
+Forward math runs in bf16 on the MXU with f32 accumulation by default
+(use param_dtype/compute_dtype to get an f32 reference mode).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encoding import SH_DIM, HashGridConfig, hashgrid_encode, init_hashgrid, sh_encode
+
+LEAKY_SLOPE = 0.01  # tcnn LeakyReLU negative slope
+
+
+@dataclass(frozen=True)
+class NbvhConfig:
+    log2_hashmap_size: int = 14
+    base_resolution: int = 16
+    n_levels: int = 8
+    n_features: int = 4
+    per_level_scale: float = 2.0
+    point_count: int = 3            # entry, exit, midpoint
+    mlp_width: int = 128
+    mlp_hidden_layers: int = 4
+    output_dims: int = 5
+    padded_output_dims: int = 16
+
+    @property
+    def input_dims(self) -> int:
+        return self.point_count * 3 + 3
+
+    @property
+    def grid(self) -> HashGridConfig:
+        return HashGridConfig(
+            n_levels=self.n_levels, n_features=self.n_features,
+            log2_hashmap_size=self.log2_hashmap_size,
+            base_resolution=self.base_resolution,
+            per_level_scale=self.per_level_scale)
+
+    @property
+    def encoded_dims(self) -> int:
+        return self.point_count * self.grid.output_dim + SH_DIM
+
+    @property
+    def mlp_n_params(self) -> int:
+        w, e = self.mlp_width, self.encoded_dims
+        return (w * e + (self.mlp_hidden_layers - 1) * w * w
+                + self.padded_output_dims * w)
+
+    @property
+    def hg_n_params(self) -> int:
+        return self.grid.n_params
+
+    @property
+    def n_params(self) -> int:
+        return self.mlp_n_params + self.point_count * self.hg_n_params
+
+
+def init_params(key, config: NbvhConfig, dtype=jnp.float32):
+    """Random init: hash tables uniform(-1e-4,1e-4) (tcnn default), MLP He."""
+    keys = jax.random.split(key, config.point_count + config.mlp_hidden_layers + 1)
+    grids = [init_hashgrid(keys[i], config.grid, dtype)
+             for i in range(config.point_count)]
+
+    mlp = []
+    dims = ([config.encoded_dims]
+            + [config.mlp_width] * config.mlp_hidden_layers
+            + [config.padded_output_dims])
+    for i in range(len(dims) - 1):
+        fan_in = dims[i]
+        std = math.sqrt(2.0 / fan_in)
+        w = jax.random.normal(keys[config.point_count + i],
+                              (dims[i + 1], dims[i]), dtype) * std
+        mlp.append(w)
+    return {"grids": grids, "mlp": mlp}
+
+
+def encode_inputs(params, inputs, config: NbvhConfig):
+    """inputs [N, 12] -> encoded [N, encoded_dims] (f32)."""
+    feats = []
+    for p in range(config.point_count):
+        x = inputs[:, p * 3:(p + 1) * 3]
+        feats.append(hashgrid_encode(params["grids"][p], x, config.grid))
+    feats.append(sh_encode(inputs[:, config.point_count * 3:
+                                  config.point_count * 3 + 3]))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def mlp_forward(mlp_params, x, compute_dtype=jnp.bfloat16):
+    """Bias-free LeakyReLU MLP; matmuls on the MXU in compute_dtype with f32
+    accumulation; output layer linear."""
+    h = x.astype(compute_dtype)
+    n_layers = len(mlp_params)
+    for i, w in enumerate(mlp_params):
+        h = jnp.dot(h, w.astype(compute_dtype).T,
+                    preferred_element_type=jnp.float32)
+        if i < n_layers - 1:
+            h = jnp.where(h > 0, h, LEAKY_SLOPE * h)
+        h = h.astype(compute_dtype) if i < n_layers - 1 else h
+    return h.astype(jnp.float32)
+
+
+def apply(params, inputs, config: NbvhConfig, compute_dtype=jnp.bfloat16):
+    """Full forward: [N, 12] -> [N, padded_output_dims] f32."""
+    encoded = encode_inputs(params, inputs, config)
+    return mlp_forward(params["mlp"], encoded, compute_dtype=compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Flat FP16 blob IO (reference checkpoint format)
+# ---------------------------------------------------------------------------
+
+def _split_grid_blob(flat: np.ndarray, config: NbvhConfig):
+    """Flat per-grid params -> per-level [E_l, F] arrays (level-major,
+    feature-interleaved, tcnn layout)."""
+    grid = config.grid
+    tables = []
+    cursor = 0
+    for level in range(grid.n_levels):
+        n = grid.level_entries(level)
+        chunk = flat[cursor:cursor + n * grid.n_features]
+        tables.append(chunk.reshape(n, grid.n_features))
+        cursor += n * grid.n_features
+    return tables
+
+
+def _split_mlp_blob(flat: np.ndarray, config: NbvhConfig):
+    dims = ([config.encoded_dims]
+            + [config.mlp_width] * config.mlp_hidden_layers
+            + [config.padded_output_dims])
+    mats = []
+    cursor = 0
+    for i in range(len(dims) - 1):
+        rows, cols = dims[i + 1], dims[i]
+        mats.append(flat[cursor:cursor + rows * cols].reshape(rows, cols))
+        cursor += rows * cols
+    return mats
+
+
+def load_flat_blob(path: str, config: NbvhConfig, swap_param_order: bool = True,
+                   dtype=jnp.float32):
+    """Load the reference's flat FP16 checkpoint
+    (cuda_renderer_neural.cu:1752-1808): [mlp | hg] or, with
+    swap_param_order (the default there too), [hg | mlp]; the single hash
+    grid block is tiled into all point_count encoder slots."""
+    raw = np.fromfile(path, dtype=np.float16)
+    expected = config.mlp_n_params + config.hg_n_params
+    if raw.size != expected:
+        raise ValueError(
+            f"Weights size mismatch (got {raw.size} halfs, expected {expected}). "
+            f"Format: [mlp | hg] or (with swap_param_order) [hg | mlp] (FP16).")
+    raw = raw.astype(np.float32)
+    if swap_param_order:
+        hg, mlp = raw[:config.hg_n_params], raw[config.hg_n_params:]
+    else:
+        mlp, hg = raw[:config.mlp_n_params], raw[config.mlp_n_params:]
+    tables = _split_grid_blob(hg, config)
+    grids = [[jnp.asarray(t, dtype) for t in tables]
+             for _ in range(config.point_count)]
+    mlp_mats = [jnp.asarray(m, dtype) for m in _split_mlp_blob(mlp, config)]
+    return {"grids": grids, "mlp": mlp_mats}
+
+
+def save_flat_blob(path: str, params, config: NbvhConfig,
+                   swap_param_order: bool = True, grid_slot: int = 0):
+    """Export to the reference's flat FP16 format (one hash grid slot)."""
+    hg = np.concatenate([np.asarray(t, np.float32).reshape(-1)
+                         for t in params["grids"][grid_slot]])
+    mlp = np.concatenate([np.asarray(m, np.float32).reshape(-1)
+                          for m in params["mlp"]])
+    blob = np.concatenate([hg, mlp] if swap_param_order else [mlp, hg])
+    blob.astype(np.float16).tofile(path)
