@@ -110,12 +110,14 @@ def encode_inputs(params, inputs, config: NbvhConfig):
 
 def mlp_forward(mlp_params, x, compute_dtype=jnp.bfloat16):
     """Bias-free LeakyReLU MLP; matmuls on the MXU in compute_dtype with f32
-    accumulation; output layer linear."""
+    accumulation; output layer linear. compute_dtype=float32 selects the
+    accurate reference mode (full-precision MXU passes) for debugging."""
+    precision = "highest" if compute_dtype == jnp.float32 else None
     h = x.astype(compute_dtype)
     n_layers = len(mlp_params)
     for i, w in enumerate(mlp_params):
         h = jnp.dot(h, w.astype(compute_dtype).T,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=precision)
         if i < n_layers - 1:
             h = jnp.where(h > 0, h, LEAKY_SLOPE * h)
         h = h.astype(compute_dtype) if i < n_layers - 1 else h

@@ -1,0 +1,2 @@
+from .params import RenderParams
+from .renderer import RenderBasis, Renderer

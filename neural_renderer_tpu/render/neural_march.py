@@ -1,0 +1,213 @@
+"""Multi-segment shell march: the neural intersection query.
+
+Re-architects traceNeuralSegmentsForRays
+(/root/reference/src/cuda_renderer_neural.cu:1810-2083, call stack SURVEY.md
+§3.3) for XLA: the reference's compact -> trace -> batch-MLP -> apply -> march
+loop with a per-iteration GPU->CPU activeCount readback becomes a
+`lax.while_loop` with an on-device `any(active)` condition and masked lanes —
+zero host syncs, at most kMaxSegmentIterations (=10) trips, and the loop exits
+early once every ray has resolved. The network runs on the full (masked) ray
+batch per iteration; XLA keeps everything fused in one program.
+
+Stages inside one iteration (reference kernels in parens):
+  1. segment exits: outer BACKWARD_ONLY + inner ANY  (traceSegmentExitsKernel)
+  2. normalized inputs [entry|exit|mid|dir01]        (buildSegmentNeuralInputs)
+  3. fused hash-encode + MLP forward                 (tcnn inference)
+  4. presence/distance/normal application            (applySegmentNeuralOutput)
+  5. re-entry trace + accumT update                  (prepareNextIteration)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..models import nbvh
+from ..ops import traversal
+from ..ops.linalg import safe_normalize
+from ..scene.materials import P_BASE_B, P_BASE_R, P_METALLIC, P_ROUGHNESS, P_SPECULAR
+from .pathtrace import HitState
+
+MAX_SEGMENT_ITERATIONS = 10   # cuda_renderer_neural.cu:714
+SEGMENT_EPSILON = 1e-8        # cuda_renderer_neural.cu:715
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class NeuralContext:
+    """Everything the shell march needs: shell meshes + network weights."""
+    outer: object               # MeshArrays
+    inner: object               # MeshArrays
+    net_params: object          # nbvh params pytree
+    config: nbvh.NbvhConfig = field(metadata=dict(static=True),
+                                    default=nbvh.NbvhConfig())
+
+
+def _shell_entry_camera(outer, origins, dirs):
+    """traceOuterShellEntryKernel (:720-767)."""
+    res = traversal.trace_mesh(outer, origins, dirs, traversal.FORWARD_ONLY)
+    entry_pos = origins + dirs * res.t[:, None]
+    active = res.hit
+    accum_t = jnp.where(active, res.t, 0.0)
+    entry_pos = jnp.where(active[:, None], entry_pos, 0.0)
+    return entry_pos, active, accum_t
+
+
+def _shell_entry_from_rays(outer, origins, dirs, ray_active, pdfs):
+    """traceOuterShellEntryFromRaysKernel (:773-852): rays starting inside
+    the outer shell first exit (BACKWARD_ONLY) then re-enter."""
+    ok = ray_active & (pdfs > 0.0)
+    res_fwd = traversal.trace_mesh(outer, origins, dirs,
+                                   traversal.FORWARD_ONLY, active=ok)
+    need_restart = ok & ~res_fwd.hit
+    res_back = traversal.trace_mesh(outer, origins, dirs,
+                                    traversal.BACKWARD_ONLY, active=need_restart)
+    base_offset = jnp.where(need_restart & res_back.hit,
+                            res_back.t + SEGMENT_EPSILON, 0.0)
+    shifted_origin = origins + dirs * base_offset[:, None]
+    res_retry = traversal.trace_mesh(outer, shifted_origin, dirs,
+                                     traversal.FORWARD_ONLY,
+                                     active=need_restart & res_back.hit)
+
+    hit = ok & (res_fwd.hit | res_retry.hit)
+    entry_t = jnp.where(res_fwd.hit, res_fwd.t, res_retry.t)
+    entry_origin = jnp.where(res_fwd.hit[:, None], origins, shifted_origin)
+    entry_pos = entry_origin + dirs * entry_t[:, None]
+    total_t = jnp.where(res_fwd.hit, entry_t, base_offset + entry_t)
+
+    entry_pos = jnp.where(hit[:, None], entry_pos, 0.0)
+    accum_t = jnp.where(hit, total_t, 0.0)
+    return entry_pos, hit, accum_t
+
+
+def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
+                          ray_active=None, pdfs=None,
+                          camera_rays: bool = True,
+                          compute_dtype=jnp.bfloat16) -> HitState:
+    """Full multi-segment march; returns a HitState over [N] rays.
+
+    `params` is the RenderParams block (material/constant-color settings,
+    outer-shell normalization bounds). `ray_active`/`pdfs` gate bounce rays
+    like the reference's rayActiveMask/rayPdfs.
+    """
+    n = origins.shape[0]
+
+    if camera_rays:
+        entry_pos, active, accum_t = _shell_entry_camera(ctx.outer, origins, dirs)
+    else:
+        ray_active = jnp.ones(n, bool) if ray_active is None else ray_active
+        pdfs = jnp.ones(n, jnp.float32) if pdfs is None else pdfs
+        entry_pos, active, accum_t = _shell_entry_from_rays(
+            ctx.outer, origins, dirs, ray_active, pdfs)
+
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    out_hit = HitState(
+        position=zero3, normal=zero3, albedo=zero3,
+        material_params=jnp.zeros((n, 3), jnp.float32),
+        hit=jnp.zeros(n, bool), distance=jnp.zeros(n, jnp.float32))
+
+    mat_params_row = jnp.stack([
+        jnp.broadcast_to(params.material_row[P_METALLIC], (n,)),
+        jnp.broadcast_to(params.material_row[P_ROUGHNESS], (n,)),
+        jnp.broadcast_to(params.material_row[P_SPECULAR], (n,))], axis=-1)
+
+    def cond(state):
+        it, active, *_ = state
+        return (it < MAX_SEGMENT_ITERATIONS) & jnp.any(active)
+
+    def body(state):
+        (it, active, entry_pos, accum_t, out) = state
+
+        # 1. Segment exits (traceSegmentExitsKernel :858-930).
+        shifted_entry = entry_pos + dirs * SEGMENT_EPSILON
+        res_exit = traversal.trace_mesh(ctx.outer, shifted_entry, dirs,
+                                        traversal.BACKWARD_ONLY, active=active)
+        exit_t = jnp.where(res_exit.hit, res_exit.t, SEGMENT_EPSILON)
+        res_inner = traversal.trace_mesh(ctx.inner, shifted_entry, dirs,
+                                         traversal.ANY, active=active)
+        inner_hit = res_inner.hit
+        inner_t = jnp.where(inner_hit, res_inner.t, 1e30)
+        inner_before = inner_hit & (inner_t < exit_t)
+        seg_t = jnp.where(inner_before, inner_t, exit_t)
+        exit_pos = shifted_entry + dirs * seg_t[:, None]
+
+        # 2. Network inputs (buildSegmentNeuralInputsKernel :937-1001).
+        norm_entry = (shifted_entry - params.outer_shell_min) * params.outer_shell_inv_extent
+        norm_exit = (exit_pos - params.outer_shell_min) * params.outer_shell_inv_extent
+        mid = 0.5 * (shifted_entry + exit_pos)
+        norm_mid = (mid - params.outer_shell_min) * params.outer_shell_inv_extent
+        dir01 = (dirs + 1.0) * 0.5
+        net_in = jnp.concatenate([norm_entry, norm_exit, norm_mid, dir01], axis=-1)
+
+        # 3. Fused encode + MLP (tcnn inference, :2025-2032).
+        outputs = nbvh.apply(ctx.net_params, net_in, ctx.config,
+                             compute_dtype=compute_dtype)
+
+        # 4. Apply outputs (applySegmentNeuralOutputKernel :1007-1123).
+        presence = outputs[:, 0]
+        distance = outputs[:, 1]
+        normal_raw = outputs[:, 2:5]
+        color_raw = jnp.clip(outputs[:, 5:8], 0.0, 1.0)
+
+        neural_hit = presence >= 0.0
+        found = active & (neural_hit | inner_before)
+
+        clamped = jnp.where(inner_t > 0.0,
+                            jnp.minimum(distance, inner_t - SEGMENT_EPSILON),
+                            distance)
+        hit_pos = shifted_entry + dirs * clamped[:, None]
+        normal = safe_normalize(normal_raw, min_len=1e-6)
+
+        # outputStride >= 8 is always true (padded width 16), so the
+        # reference's material-base-color fallback branch is unreachable:
+        # constant color when requested, else the network's color slots.
+        color = jnp.where(params.use_constant_neural_color,
+                          jnp.broadcast_to(params.constant_neural_color[None, :], (n, 3)),
+                          color_raw)
+
+        f = found[:, None]
+        out = HitState(
+            position=jnp.where(f, hit_pos, out.position),
+            normal=jnp.where(f, normal, out.normal),
+            albedo=jnp.where(f, color, out.albedo),
+            material_params=jnp.where(f, mat_params_row, out.material_params),
+            hit=out.hit | found,
+            distance=jnp.where(found, distance, out.distance),
+        )
+        active = active & ~found
+
+        # 5. Prepare next iteration (prepareNextIterationKernel :1456-1524).
+        shifted_exit = exit_pos + dirs * SEGMENT_EPSILON
+        res_re = traversal.trace_mesh(ctx.outer, shifted_exit, dirs,
+                                      traversal.FORWARD_ONLY, active=active)
+        can_continue = active & (res_re.hit | inner_hit)
+        reentry_t = jnp.where(res_re.hit, res_re.t, 0.0)
+        new_entry = shifted_exit + dirs * reentry_t[:, None]
+        entry_pos = jnp.where(can_continue[:, None], new_entry, entry_pos)
+        accum_t = jnp.where(can_continue,
+                            accum_t + exit_t + reentry_t + 2.0 * SEGMENT_EPSILON,
+                            accum_t)
+        active = can_continue
+
+        return (it + 1, active, entry_pos, accum_t, out)
+
+    state = (jnp.int32(0), active, entry_pos, accum_t, out_hit)
+    _, _, _, _, out_hit = jax.lax.while_loop(cond, body, state)
+    return out_hit
+
+
+def check_bounce_early_termination(outer, inner, params, rays, path_active):
+    """checkBounceEarlyTerminationKernel (cuda_renderer_neural.cu:503-553):
+    kill a bounce path when, along the bounce ray, the inner shell is hit
+    before the outer shell (the ray re-enters the shell volume from a neural
+    hit point). Returns the updated active mask."""
+    check = path_active & (rays.pdf > 0.0) & (rays.distance > 0.0)
+    res_outer = traversal.trace_mesh(outer, rays.origin, rays.direction,
+                                     traversal.ANY, active=check)
+    res_inner = traversal.trace_mesh(inner, rays.origin, rays.direction,
+                                     traversal.ANY, active=check)
+    kill = check & res_inner.hit & res_outer.hit & (res_inner.t < res_outer.t)
+    return path_active & ~kill

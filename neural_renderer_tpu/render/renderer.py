@@ -1,0 +1,275 @@
+"""Renderer: the stateful frame orchestrator (RendererNeural equivalent).
+
+API parity with /root/reference/src/cuda_renderer_neural.h:84-124: ctor from a
+Scene + NeuralNetworkConfig, resize, setCameraBasis, render(camPos),
+loadWeightsFromFile, the ~15 setters, devicePixels, resetSamples. The ~35 raw
+device buffers and kernel launches become jitted frame functions over pytrees;
+the camera/setting change detection that resets accumulation
+(cuda_renderer_neural.cu:2191-2228) is kept host-side.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import NeuralNetworkConfig
+from ..models import nbvh
+from ..scene.scene import Scene
+from .neural_frame import render_neural_frame, render_neural_lambert
+from .neural_march import NeuralContext
+from .params import RenderParams
+from .pathtrace import render_gt_frame, render_gt_lambert
+
+
+@dataclass
+class RenderBasis:
+    """Camera basis (renderer.h:5-10)."""
+    forward: np.ndarray
+    right: np.ndarray
+    up: np.ndarray
+    fov_y: float
+
+
+class Renderer:
+    def __init__(self, scene: Scene, nn_config: NeuralNetworkConfig | None = None):
+        self.scene = scene
+        nn_config = nn_config or NeuralNetworkConfig()
+        self.net_config = nbvh.NbvhConfig(
+            log2_hashmap_size=nn_config.log2_hashmap_size,
+            base_resolution=nn_config.base_resolution)
+        # Reference zero-initialises and expects a checkpoint load
+        # (cudaMemset, cuda_renderer_neural.cu:1698).
+        self.net_params = jax.tree_util.tree_map(
+            jnp.zeros_like, nbvh.init_params(jax.random.PRNGKey(0), self.net_config))
+
+        self.width = 0
+        self.height = 0
+        self.samples_per_pixel = 1
+        self.bounce_count = 3
+        self.use_neural_query = False
+        self.lambert_view = False
+        self.classic_mesh_index = 0
+        self.use_additional_mesh = True
+        self.envmap_rotation = scene.environment.rotation
+        self.use_constant_neural_color = False
+        self.constant_neural_color = (0.8, 0.8, 0.8)
+        self.use_direct_env_color = False
+        self.direct_env_color = (0.0, 0.0, 0.0)
+        self.compute_dtype = jnp.bfloat16
+
+        self.basis = RenderBasis(np.array([0.0, 0.0, -1.0]),
+                                 np.array([1.0, 0.0, 0.0]),
+                                 np.array([0.0, 1.0, 0.0]), 1.047198)
+        self._accum = None
+        self._accum_sample_count = 0
+        self._pixels = None
+        self._mesh_cache = {}
+        self._last_state = None
+        self.last_frame_seconds = 0.0
+        self.last_frame_rays = 0
+
+        self._jit_gt = jax.jit(render_gt_frame, donate_argnums=(3,))
+        self._jit_gt_lambert = jax.jit(render_gt_lambert)
+        self._jit_neural = jax.jit(
+            render_neural_frame,
+            static_argnames=("use_additional", "compute_dtype"),
+            donate_argnums=(4,))
+        self._jit_neural_lambert = jax.jit(
+            render_neural_lambert,
+            static_argnames=("use_additional", "compute_dtype"))
+
+    # -- RendererNeural setter API -------------------------------------------
+    def resize(self, width: int, height: int):
+        if width == self.width and height == self.height:
+            return
+        self.width, self.height = width, height
+        self._accum = None
+        self._pixels = None
+
+    def set_camera_basis(self, basis: RenderBasis):
+        self.basis = basis
+
+    def set_use_neural_query(self, v: bool):
+        self.use_neural_query = bool(v)
+
+    def set_lambert_view(self, v: bool):
+        self.lambert_view = bool(v)
+
+    def set_bounce_count(self, n: int):
+        self.bounce_count = max(0, int(n))
+
+    def set_samples_per_pixel(self, n: int):
+        self.samples_per_pixel = max(1, int(n))
+
+    def set_classic_mesh_index(self, i: int):
+        self.classic_mesh_index = int(i)
+
+    def set_envmap_rotation(self, deg: float):
+        self.envmap_rotation = float(deg)
+
+    def set_use_additional_mesh(self, v: bool):
+        self.use_additional_mesh = bool(v)
+
+    def set_constant_neural_color(self, use: bool, color=(0.8, 0.8, 0.8)):
+        self.use_constant_neural_color = bool(use)
+        self.constant_neural_color = tuple(color)
+
+    def set_direct_env_color(self, use: bool, color=(0.0, 0.0, 0.0)):
+        self.use_direct_env_color = bool(use)
+        self.direct_env_color = tuple(color)
+
+    def reset_samples(self):
+        self._accum = None
+        self._accum_sample_count = 0
+
+    @property
+    def accum_sample_count(self) -> int:
+        return self._accum_sample_count
+
+    def load_weights_from_file(self, path: str, swap_param_order: bool = True) -> bool:
+        try:
+            self.net_params = nbvh.load_flat_blob(
+                path, self.net_config, swap_param_order=swap_param_order)
+            return True
+        except (OSError, ValueError) as e:
+            import sys
+            print(f"Failed to load weights '{path}': {e}", file=sys.stderr)
+            return False
+
+    def set_network_params(self, params):
+        self.net_params = params
+
+    # -- internals -------------------------------------------------------------
+    def _mesh_arrays(self, name: str):
+        if name not in self._mesh_cache:
+            mesh = getattr(self.scene, name)
+            self._mesh_cache[name] = mesh.to_arrays()
+        return self._mesh_cache[name]
+
+    def invalidate_meshes(self):
+        self._mesh_cache.clear()
+
+    def _classic_mesh(self):
+        # 0=original, 1=inner shell, 2=outer shell (render(), :2120-2125).
+        if self.classic_mesh_index == 1 and self.scene.inner_shell.num_triangles > 0:
+            return self._mesh_arrays("inner_shell")
+        if self.classic_mesh_index == 2 and self.scene.outer_shell.num_triangles > 0:
+            return self._mesh_arrays("outer_shell")
+        return self._mesh_arrays("original_mesh")
+
+    def _env_arrays(self):
+        env = self.scene.environment.to_arrays()
+        return env.__class__(pixels=env.pixels,
+                             rotation=jnp.float32(self.envmap_rotation),
+                             strength=env.strength, is_valid=env.is_valid)
+
+    def _settings_key(self, cam_pos):
+        return (tuple(np.round(np.asarray(cam_pos, np.float64), 5)),
+                tuple(np.round(np.asarray(self.basis.forward, np.float64), 5)),
+                tuple(np.round(np.asarray(self.basis.right, np.float64), 5)),
+                tuple(np.round(np.asarray(self.basis.up, np.float64), 5)),
+                round(self.basis.fov_y, 5),
+                self.use_neural_query, self.lambert_view, self.bounce_count,
+                self.samples_per_pixel, self.classic_mesh_index,
+                self.envmap_rotation, self.use_additional_mesh)
+
+    def _build_params(self, cam_pos) -> RenderParams:
+        classic = self.scene.original_mesh
+        if self.classic_mesh_index == 1 and self.scene.inner_shell.num_triangles > 0:
+            classic = self.scene.inner_shell
+        elif self.classic_mesh_index == 2 and self.scene.outer_shell.num_triangles > 0:
+            classic = self.scene.outer_shell
+        smin, smax = classic.bounds()
+        scene_scale = float(np.linalg.norm(smax - smin))
+        if scene_scale < 1e-6:
+            scene_scale = 1.0
+
+        omin, omax = self.scene.outer_shell.bounds()
+        extent = omax - omin
+        inv_extent = np.where(extent != 0.0, 1.0 / np.where(extent == 0, 1, extent), 0.0)
+
+        return RenderParams.make(
+            width=self.width, height=self.height,
+            samples_per_pixel=self.samples_per_pixel,
+            max_bounces=self.bounce_count,
+            cam_pos=cam_pos, cam_forward=self.basis.forward,
+            cam_right=self.basis.right, cam_up=self.basis.up,
+            fov_y=self.basis.fov_y,
+            material=self.scene.global_material,
+            sample_offset=self._accum_sample_count,
+            use_constant_neural_color=self.use_constant_neural_color,
+            constant_neural_color=self.constant_neural_color,
+            use_direct_env_color=self.use_direct_env_color,
+            direct_env_color=self.direct_env_color,
+            scene_scale=scene_scale,
+            outer_shell_min=omin,
+            outer_shell_inv_extent=inv_extent)
+
+    # -- the frame -------------------------------------------------------------
+    def render(self, cam_pos) -> np.ndarray:
+        """Render one accumulation batch; returns the current u8 image
+        [H, W, 3] (also kept, like devicePixels)."""
+        if self.width <= 0 or self.height <= 0:
+            raise RuntimeError("resize() must be called before render()")
+
+        key = self._settings_key(cam_pos)
+        if key != self._last_state:
+            self.reset_samples()
+        self._last_state = key
+
+        params = self._build_params(cam_pos)
+        env = self._env_arrays()
+        if self._accum is None:
+            self._accum = jnp.zeros((self.width * self.height, 3), jnp.float32)
+
+        t0 = time.perf_counter()
+        neural_ready = (self.use_neural_query
+                        and self.scene.outer_shell.num_triangles > 0)
+        if neural_ready:
+            ctx = NeuralContext(outer=self._mesh_arrays("outer_shell"),
+                                inner=self._mesh_arrays("inner_shell"),
+                                net_params=self.net_params,
+                                config=self.net_config)
+            add = self._mesh_arrays("additional_mesh")
+            use_add = self.use_additional_mesh and not add.is_empty
+            if self.lambert_view:
+                img = self._jit_neural_lambert(
+                    ctx, add, env, params, use_additional=use_add,
+                    compute_dtype=self.compute_dtype)
+                self._accum_sample_count = 0
+            else:
+                img, self._accum = self._jit_neural(
+                    ctx, add, env, params, self._accum,
+                    use_additional=use_add, compute_dtype=self.compute_dtype)
+                self._accum_sample_count += self.samples_per_pixel
+        else:
+            mesh = self._classic_mesh()
+            if self.lambert_view:
+                img = self._jit_gt_lambert(mesh, env, params)
+                self._accum_sample_count = 0
+            else:
+                img, self._accum = self._jit_gt(mesh, env, params, self._accum)
+                self._accum_sample_count += self.samples_per_pixel
+
+        img = np.asarray(jax.block_until_ready(img))
+        self.last_frame_seconds = time.perf_counter() - t0
+        self.last_frame_rays = self.width * self.height * self.samples_per_pixel
+        self._pixels = img
+        return img
+
+    def device_pixels(self) -> np.ndarray:
+        if self._pixels is None:
+            raise RuntimeError("no frame rendered yet")
+        return self._pixels
+
+    @property
+    def mrays_per_second(self) -> float:
+        if self.last_frame_seconds <= 0:
+            return 0.0
+        return self.last_frame_rays / self.last_frame_seconds / 1e6

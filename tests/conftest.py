@@ -1,16 +1,27 @@
-"""Test harness config: force the CPU backend with 8 virtual devices.
+"""Test harness config.
 
-Correctness tests run on jax[cpu] so no TPU is needed (SURVEY.md §4); the
-multi-chip sharding tests use the standard fake-backend trick
-(xla_force_host_platform_device_count=8).
+Notes on the environment:
+  * This host exposes one TPU chip (platform 'axon'); correctness tests run
+    on it by default (the host has a single CPU core, so the TPU is also the
+    fast path). Everything here also runs on jax[cpu].
+  * An 8-device virtual CPU backend is always available via
+    `jax.devices("cpu")` (xla_force_host_platform_device_count) — multi-chip
+    sharding tests build their Mesh from those, the standard fake-backend
+    trick (SURVEY.md §4).
+  * Default matmul precision is raised to 'highest' so float32 reference
+    paths are accurate on the TPU MXU; production code paths request bf16
+    explicitly.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -19,3 +30,11 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture
+def cpu_devices():
+    """8 virtual CPU devices for multi-chip sharding tests."""
+    devs = jax.devices("cpu")
+    assert len(devs) >= 8, "xla_force_host_platform_device_count not applied"
+    return devs[:8]
