@@ -1,0 +1,154 @@
+"""Benchmark: neural-render throughput at 1080p on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: Mrays/s for the neural render path (multi-segment shell march +
+hash-grid/SH/MLP inference + Disney bounce integration) at 1920x1080, the
+reference's headline workload (BASELINE.md). Rays counted like the
+reference's profiler: width * height * spp per frame (KernelTimings.rayCount,
+cuda_renderer_neural.h:37-66).
+
+Baseline: the reference publishes no numbers (BASELINE.json `published: {}`);
+per BASELINE.md the self-relative target is >= 10x the CPU Mrays/s of this
+same pipeline. vs_baseline = tpu_mrays / (10 * cpu_mrays) measured on a
+scaled-down CPU run of the identical program (rays/sec is resolution-
+independent for this masked pipeline).
+
+Env knobs: BENCH_WIDTH/BENCH_HEIGHT/BENCH_SPP/BENCH_BOUNCES/BENCH_FRAMES,
+BENCH_SKIP_CPU=1 to skip the CPU baseline measurement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_scene():
+    from neural_renderer_tpu.scene.mesh_loader import generate_uv_sphere
+
+    def outward(stacks, slices, r):
+        m = generate_uv_sphere(stacks, slices, r)
+        m.indices = m.indices[:, [0, 2, 1]].copy()
+        m.mark_dirty()
+        return m
+
+    # Shelled-sphere benchmark scene: the dbrt_data assets are not in the
+    # snapshot (SURVEY.md caveats), so the workload is synthetic but
+    # structurally identical: original mesh between an inner/outer shell.
+    original = outward(48, 96, 1.0)
+    inner = outward(24, 48, 0.85)
+    outer = outward(24, 48, 1.15)
+    return original, inner, outer
+
+
+def make_frame_fn(device, width, height, spp, bounces, compute_dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from neural_renderer_tpu.models import nbvh
+    from neural_renderer_tpu.render.neural_frame import render_neural_frame
+    from neural_renderer_tpu.render.neural_march import NeuralContext
+    from neural_renderer_tpu.render.params import RenderParams
+    from neural_renderer_tpu.scene.envmap import EnvironmentMap
+    from neural_renderer_tpu.scene.materials import Material
+    from neural_renderer_tpu.scene.mesh import Mesh
+
+    original, inner, outer = build_scene()
+
+    put = lambda tree: jax.device_put(tree, device)
+    outer_a = put(outer.to_arrays())
+    inner_a = put(inner.to_arrays())
+    add_a = put(Mesh().to_arrays())
+    env = put(EnvironmentMap().to_arrays())
+
+    cfg = nbvh.NbvhConfig()
+    net_params = put(nbvh.init_params(jax.random.PRNGKey(0), cfg))
+    ctx = NeuralContext(outer=outer_a, inner=inner_a, net_params=net_params,
+                        config=cfg)
+
+    omin, omax = outer.bounds()
+    params = RenderParams.make(
+        width=width, height=height, samples_per_pixel=spp, max_bounces=bounces,
+        cam_pos=[0.0, 0.0, 3.0], cam_forward=[0.0, 0.0, -1.0],
+        cam_right=[1.0, 0.0, 0.0], cam_up=[0.0, 1.0, 0.0], fov_y=0.9,
+        material=Material.default(), scene_scale=2.0,
+        outer_shell_min=omin, outer_shell_inv_extent=1.0 / (omax - omin))
+    params = put(params)
+
+    frame = jax.jit(
+        render_neural_frame,
+        static_argnames=("use_additional", "compute_dtype"),
+        donate_argnums=(4,))
+
+    def run(accum, sample_offset):
+        p = dataclasses.replace(params, sample_offset=jnp.uint32(sample_offset))
+        return frame(ctx, add_a, env, p, accum, use_additional=False,
+                     compute_dtype=compute_dtype)
+
+    accum0 = jax.device_put(jnp.zeros((width * height, 3), jnp.float32), device)
+    return run, accum0
+
+
+def measure(device, width, height, spp, bounces, frames, compute_dtype):
+    import jax
+
+    run, accum = make_frame_fn(device, width, height, spp, bounces, compute_dtype)
+    # Warmup / compile.
+    img, accum = run(accum, 0)
+    jax.block_until_ready(img)
+
+    t0 = time.perf_counter()
+    offset = spp
+    for i in range(frames):
+        img, accum = run(accum, offset)
+        offset += spp
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    rays = width * height * spp * frames
+    return rays / dt / 1e6
+
+
+def main():
+    import jax
+
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    spp = int(os.environ.get("BENCH_SPP", 1))
+    bounces = int(os.environ.get("BENCH_BOUNCES", 3))
+    frames = int(os.environ.get("BENCH_FRAMES", 4))
+
+    import jax.numpy as jnp
+
+    accel = jax.devices()[0]
+    mrays = measure(accel, width, height, spp, bounces, frames, jnp.bfloat16)
+
+    vs_baseline = None
+    if os.environ.get("BENCH_SKIP_CPU") != "1" and accel.platform != "cpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+            # Same program at 1/100 the pixel count; rays/s extrapolates.
+            cpu_mrays = measure(cpu, 192, 108, 1, bounces, 1, jnp.float32)
+            if cpu_mrays > 0:
+                vs_baseline = mrays / (10.0 * cpu_mrays)
+        except Exception as e:  # pragma: no cover
+            print(f"CPU baseline failed: {e}", file=sys.stderr)
+    if vs_baseline is None:
+        vs_baseline = 1.0
+
+    print(json.dumps({
+        "metric": f"neural render Mrays/s @ {width}x{height} spp{spp} b{bounces} ({accel.platform})",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

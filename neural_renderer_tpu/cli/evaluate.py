@@ -1,0 +1,115 @@
+"""evaluate CLI: batch GT-vs-neural comparison with PSNR + FLIP.
+
+(ref: /root/reference/src/evaluate.cu). Same contract: render ground truth
+then neural at total_samples (8 spp per batch), save
+comparison_output/{ground_truth,neural,flip_error}.png, print PSNR and
+mean/max FLIP.
+
+Usage: python -m neural_renderer_tpu.cli.evaluate <config.json>
+       [--width W --height H --output DIR --batch-spp N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="GT vs neural comparison renderer")
+    parser.add_argument("config", nargs="?", default="configs/statuette_obj.json")
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--output", default="comparison_output")
+    parser.add_argument("--batch-spp", type=int, default=8)
+    parser.add_argument("--total-samples", type=int, default=None,
+                        help="override config total_samples")
+    args = parser.parse_args(argv)
+
+    print("=== Comparison Renderer ===")
+
+    from ..config import load_config, matrix_to_camera_state, camera_basis_from_state
+    from ..metrics import compute_flip, compute_psnr, save_png
+    from ..render import RenderBasis, Renderer
+    from ..scene.scene import Scene
+    from ..utils.progress import ProgressBar
+
+    cfg = load_config(args.config)
+    total_samples = args.total_samples or cfg.rendering.total_samples
+    bounce_count = cfg.rendering.bounce_count
+
+    os.makedirs(args.output, exist_ok=True)
+
+    # Camera (evaluate.cu:137-144: position scaled by original mesh scale).
+    pos, yaw, pitch = matrix_to_camera_state(cfg.camera.matrix)
+    pos = pos * cfg.original_mesh.scale
+    print(f"Loaded camera: pos=({pos[0]:.2f}, {pos[1]:.2f}, {pos[2]:.2f}), "
+          f"yaw={yaw:.2f}, pitch={pitch:.2f}, fovY={cfg.camera.yfov:.2f}")
+
+    scene = Scene.from_config(cfg, sphere_fallback=False)
+    print(f"Loaded original mesh: {scene.original_mesh.num_triangles} triangles")
+    print(f"Loaded inner shell: {scene.inner_shell.num_triangles} triangles")
+    print(f"Loaded outer shell: {scene.outer_shell.num_triangles} triangles")
+
+    renderer = Renderer(scene, cfg.neural_network)
+    renderer.set_constant_neural_color(cfg.material.use_constant_neural_color,
+                                       cfg.material.constant_neural_color)
+    renderer.resize(args.width, args.height)
+    renderer.set_bounce_count(bounce_count)
+    renderer.set_lambert_view(False)
+    renderer.set_envmap_rotation(cfg.environment.rotation)
+
+    if cfg.checkpoint_path:
+        if renderer.load_weights_from_file(cfg.checkpoint_path):
+            print(f"Loaded checkpoint: {cfg.checkpoint_path}")
+        else:
+            print(f"Failed to load checkpoint: {cfg.checkpoint_path}", file=sys.stderr)
+            return 1
+
+    fwd, right, up, fov = camera_basis_from_state(yaw, pitch, cfg.camera.yfov)
+    renderer.set_camera_basis(RenderBasis(fwd, right, up, fov))
+
+    def render_pass(label: str, neural: bool) -> np.ndarray:
+        print(f"\n=== Rendering {label} ({total_samples} samples) ===")
+        renderer.set_use_neural_query(neural)
+        renderer.set_classic_mesh_index(0)
+        renderer.reset_samples()
+        remaining = total_samples
+        total_iters = (total_samples + args.batch_spp - 1) // args.batch_spp
+        bar = ProgressBar()
+        bar.begin(label, total_iters)
+        it = 0
+        img = None
+        while remaining > 0:
+            batch = min(remaining, args.batch_spp)
+            renderer.set_samples_per_pixel(batch)
+            img = renderer.render(pos)
+            remaining -= batch
+            it += 1
+            bar.update(it)
+        return img
+
+    gt = render_pass("Ground truth", neural=False)
+    save_png(os.path.join(args.output, "ground_truth.png"), gt)
+
+    neural = render_pass("Neural", neural=True)
+    save_png(os.path.join(args.output, "neural.png"), neural)
+
+    psnr = compute_psnr(gt, neural)
+    print("\n=== Metrics ===")
+    print(f"PSNR: {psnr:.2f} dB")
+
+    print("Computing FLIP error...")
+    flip_path = os.path.join(args.output, "flip_error.png")
+    mean_err, max_err = compute_flip(gt, neural, output_path=flip_path)
+    print(f"FLIP max error: {max_err:.4f}")
+    print(f"FLIP: {mean_err:.4f} (mean)")
+    print("\nComparison complete.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,8 @@
+from .shardings import (
+    dp_shard_batch,
+    make_mesh,
+    psnr_tiled,
+    render_gt_frame_tiled,
+    shard_params_spec,
+    shard_train_state,
+)

@@ -1,0 +1,144 @@
+"""Multi-chip parallelism: tile data-parallel rendering + DP/TP training.
+
+The reference is single-GPU with no distributed layer (SURVEY.md §2.4); this
+is the first-class TPU scaling story designed in its place:
+
+  * Rendering: horizontal pixel-stripe data parallelism via `shard_map` over
+    a 1D mesh — each chip renders its stripe with GLOBAL pixel ids (identical
+    RNG streams to a single-chip render), the image is assembled by the
+    all-gather XLA inserts for the stacked output. Collectives ride ICI only.
+  * Training: batch sharded over 'dp', network tensor-sharded over 'tp'
+    (hash-grid tables sharded on the entry axis, MLP hidden matrices on the
+    width axis) via NamedSharding annotations — XLA/GSPMD inserts the
+    psum/all-gathers (the scaling-book recipe: pick a mesh, annotate, let the
+    compiler place collectives).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render import pathtrace
+
+
+def make_mesh(devices=None, dp: int | None = None, tp: int = 1,
+              axis_names=("dp", "tp")) -> Mesh:
+    """Build a (dp, tp) device mesh; dp defaults to n_devices // tp."""
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp <= n, f"need {dp * tp} devices, have {n}"
+    arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
+    return Mesh(arr, axis_names)
+
+
+# ---------------------------------------------------------------------------
+# Tile data-parallel rendering
+# ---------------------------------------------------------------------------
+
+def render_gt_frame_tiled(mesh_arrays, env, params, accum, mesh: Mesh,
+                          axis: str = "dp"):
+    """Ground-truth frame with pixel rows sharded across `axis`.
+
+    accum: [H*W, 3] (replicated or sharded — resharded as needed).
+    Returns (image_u8 [H, W, 3], new_accum [H*W, 3]) with the stripe
+    all-gather inserted by XLA.
+    """
+    n_shards = mesh.shape[axis]
+    h, w = params.height, params.width
+    assert h % n_shards == 0, f"height {h} not divisible by {n_shards} shards"
+    rows_per = h // n_shards
+
+    accum_img = accum.reshape(h, w, 3)
+
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(), P(), P(axis, None, None)),
+             out_specs=(P(axis, None, None), P(axis, None, None)))
+    def shard_fn(mesh_a, env_a, params_a, accum_shard):
+        row0 = jax.lax.axis_index(axis) * rows_per
+        img, acc = pathtrace.render_gt_frame(
+            mesh_a, env_a, params_a, accum_shard.reshape(-1, 3),
+            row0=row0, n_rows=rows_per)
+        return img, acc.reshape(rows_per, w, 3)
+
+    img, acc = shard_fn(mesh_arrays, env, params, accum_img)
+    return img, acc.reshape(-1, 3)
+
+
+def psnr_tiled(ref_u8, test_u8, mesh: Mesh, axis: str = "dp"):
+    """Distributed PSNR: per-shard squared-error sums reduced with psum —
+    the metric-reduction collective pattern (SURVEY.md §2.4)."""
+    h = ref_u8.shape[0]
+    n_shards = mesh.shape[axis]
+    assert h % n_shards == 0
+
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(axis, None, None), P(axis, None, None)),
+             out_specs=P())
+    def sse(r, t):
+        d = r.astype(jnp.float64) - t.astype(jnp.float64)
+        local = jnp.sum(jnp.sum(d * d, axis=-1) / 3.0)
+        return jax.lax.psum(local[None], axis)[0]
+
+    total = sse(ref_u8, test_u8)
+    count = ref_u8.shape[0] * ref_u8.shape[1]
+    mse = total / count
+    return jnp.where(mse < 1e-10, 100.0,
+                     10.0 * jnp.log10((255.0 * 255.0) / mse))
+
+
+# ---------------------------------------------------------------------------
+# DP/TP training shardings
+# ---------------------------------------------------------------------------
+
+def shard_params_spec(params) -> dict:
+    """PartitionSpecs for the network pytree: hash-grid tables sharded on the
+    entry axis over 'tp'; MLP hidden matrices sharded on the width axis."""
+    def grid_spec(table):
+        # [entries, features]: entries is large (16k) and divisible by tp.
+        return P("tp", None)
+
+    def mlp_spec(i, w, n_layers):
+        if i == 0:
+            return P("tp", None)        # [width, enc] row-sharded
+        if i == n_layers - 1:
+            return P(None, "tp")        # [out, width] col-sharded
+        return P("tp", None)            # hidden [width, width]
+
+    n_layers = len(params["mlp"])
+    return {
+        "grids": [[grid_spec(t) for t in grid] for grid in params["grids"]],
+        "mlp": [mlp_spec(i, w, n_layers) for i, w in enumerate(params["mlp"])],
+    }
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState: params per shard_params_spec ('tp'-sharded tables
+    and matrices), optimizer state and step replicated. GSPMD propagates the
+    param shardings through the step (Adam moments come back sharded)."""
+    pspec = shard_params_spec(state.params)
+    param_shardings = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), pspec,
+        is_leaf=lambda x: isinstance(x, P))
+    params = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), state.params, param_shardings)
+    replicated = NamedSharding(mesh, P())
+    opt_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, replicated), state.opt_state)
+    step = jax.device_put(state.step, replicated)
+    return state._replace(params=params, opt_state=opt_state, step=step)
+
+
+def dp_shard_batch(batch, mesh: Mesh, axis: str = "dp"):
+    """Shard a SegmentBatch's leading (batch) axis across `axis`."""
+    def place(x):
+        spec = P(axis) if x.ndim == 1 else P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(place, batch)

@@ -60,21 +60,31 @@ class BounceRays(NamedTuple):
     distance: jnp.ndarray    # [N] — passthrough neural distance
 
 
-def sample_grid(params):
+def sample_grid(params, row0=0, n_rows: int | None = None):
     """Flat [N] pixel coords + ids, N = spp * pixels, s-major like the CUDA
-    sample indexing (sample_idx = pixel + s * pixel_count)."""
-    p = params.pixel_count
+    sample indexing (sample_idx = pixel + s * pixel_count).
+
+    row0/n_rows select a horizontal stripe for tile data-parallel rendering
+    (pixel ids stay GLOBAL so RNG streams are identical to the full-frame
+    render regardless of the tiling); row0 may be a traced value
+    (lax.axis_index inside shard_map)."""
+    if n_rows is None:
+        n_rows = params.height
+    p = n_rows * params.width
     spp = params.samples_per_pixel
-    pix = jnp.arange(p, dtype=jnp.int32)
-    px = jnp.tile(pix % params.width, spp)
-    py = jnp.tile(pix // params.width, spp)
+    local = jnp.arange(p, dtype=jnp.int32)
+    px = local % params.width
+    py = jnp.asarray(row0, jnp.int32) + local // params.width
+    pix = py * params.width + px
+    px = jnp.tile(px, spp)
+    py = jnp.tile(py, spp)
     pixel_idx = jnp.tile(pix, spp)
     sample_of = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), p)
     return px, py, pixel_idx, sample_of
 
 
-def primary_rays(params):
-    px, py, pixel_idx, s = sample_grid(params)
+def primary_rays(params, row0=0, n_rows: int | None = None):
+    px, py, pixel_idx, s = sample_grid(params, row0, n_rows)
     state = init_rng(pixel_idx.astype(jnp.uint32), params.sample_offset,
                      s.astype(jnp.uint32))
     state, origins, dirs = generate_primary_rays(
@@ -254,14 +264,15 @@ def integrate_bounce(params, env, path: PathState, bounce_hits: HitState,
 def finalize(params, path_radiance, accum):
     """finalizePathTracingKernel (cuda_renderer_neural.cu:678-709):
     per-pixel sum over spp -> accum add -> normalize -> sRGB u8.
-    Returns (image_u8 [H, W, 3], new_accum [P, 3])."""
-    p = params.pixel_count
+    Returns (image_u8 [rows, W, 3], new_accum [rows*W, 3]); rows is inferred
+    so the same code serves full frames and shard stripes."""
+    p = path_radiance.shape[0] // params.samples_per_pixel
     per_pixel = path_radiance.reshape(params.samples_per_pixel, p, 3).sum(axis=0)
     new_accum = accum + per_pixel
     inv = 1.0 / (params.sample_offset.astype(jnp.float32)
                  + jnp.float32(params.samples_per_pixel))
     color = new_accum * inv
-    img = encode_srgb_u8(color).reshape(params.height, params.width, 3)
+    img = encode_srgb_u8(color).reshape(p // params.width, params.width, 3)
     return img, new_accum
 
 
@@ -275,9 +286,9 @@ def lambert_shade(params, env, hits: HitState, prim_dirs):
     lit = hits.albedo * ndotl[:, None]
     env_color = sample_environment(env, prim_dirs)
     color = jnp.where(hits.hit[:, None], lit, env_color)
-    p = params.pixel_count
+    p = color.shape[0] // params.samples_per_pixel
     avg = color.reshape(params.samples_per_pixel, p, 3).mean(axis=0)
-    return encode_srgb_u8(avg).reshape(params.height, params.width, 3)
+    return encode_srgb_u8(avg).reshape(p // params.width, params.width, 3)
 
 
 def select_closest_hits(params, a: HitState, b: HitState, ray_origins) -> HitState:
@@ -301,13 +312,15 @@ def select_closest_hits(params, a: HitState, b: HitState, ray_origins) -> HitSta
 # Full GT frame (render() GT branch, cuda_renderer_neural.cu:2546-2733)
 # ---------------------------------------------------------------------------
 
-def render_gt_frame(mesh, env, params, accum):
+def render_gt_frame(mesh, env, params, accum, row0=0, n_rows=None):
     """One accumulation batch of ground-truth path tracing.
 
     Returns (image_u8, new_accum). Must be called with sample_offset advanced
     by samples_per_pixel between calls (evaluate.cu:253-264 semantics).
+    row0/n_rows render a horizontal stripe (tile data parallelism); accum
+    must then cover just that stripe.
     """
-    pixel_idx, sample_of, _, origins, dirs = primary_rays(params)
+    pixel_idx, sample_of, _, origins, dirs = primary_rays(params, row0, n_rows)
     hits = trace_primary_gt(mesh, params, origins, dirs)
     path = init_path_state(params, env, hits, dirs)
 

@@ -1,0 +1,12 @@
+from .dataset import SegmentBatch, sample_segment_batch
+from .losses import LossWeights, bce_with_logits, shell_losses
+from .trainer import (
+    TrainConfig,
+    TrainState,
+    export_reference_blob,
+    init_train_state,
+    make_train_step,
+    make_train_step_on_batch,
+    restore_checkpoint,
+    save_checkpoint,
+)

@@ -1,0 +1,96 @@
+"""Training data: shell segments with ground-truth mesh intersections.
+
+The reference's C++ runtime is inference-only — training happened offline in
+a PyTorch script that is not in the snapshot (SURVEY.md caveats;
+PROJECT.md:152). This module provides the online sampler: random rays through
+the shell volume are marched exactly like the renderer
+(traceNeuralSegmentsForRays semantics), and the ORIGINAL mesh supplies the
+supervision: presence, distance-from-entry, normal and albedo per segment.
+The network's job is to answer those queries, so the generator mirrors the
+inference-time input construction bit-for-bit (shifted entry, exit = min of
+outer exit / inner enter, midpoint, direction in [0,1]).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import traversal
+from ..ops.intersect import compute_hit_data
+from ..render.neural_march import SEGMENT_EPSILON
+
+
+class SegmentBatch(NamedTuple):
+    inputs: jnp.ndarray    # [B, 12] network inputs (normalized)
+    presence: jnp.ndarray  # [B] float 0/1
+    distance: jnp.ndarray  # [B] distance from shifted entry (valid if presence)
+    normal: jnp.ndarray    # [B, 3] GT shading normal (valid if presence)
+    color: jnp.ndarray     # [B, 3] GT albedo (valid if presence)
+    valid: jnp.ndarray     # [B] segment exists (ray crossed the outer shell)
+
+
+def sample_segment_batch(key, gt_mesh, outer, inner, outer_min, outer_inv_extent,
+                         batch_size: int, radius: float) -> SegmentBatch:
+    """Generate one batch of supervised shell segments.
+
+    Rays: origins uniform on a sphere of `radius` around the shell, directions
+    toward uniform points in the outer bbox (so most rays cross the shell).
+    """
+    k1, k2 = jax.random.split(key)
+    o = jax.random.normal(k1, (batch_size, 3), jnp.float32)
+    o = o / jnp.linalg.norm(o, axis=-1, keepdims=True) * radius
+    extent_target = jax.random.uniform(k2, (batch_size, 3), jnp.float32)
+    target = outer_min + extent_target / jnp.maximum(outer_inv_extent, 1e-12)
+    d = target - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    # Shell entry (camera-style FORWARD_ONLY).
+    res_entry = traversal.trace_mesh(outer, o, d, traversal.FORWARD_ONLY)
+    valid = res_entry.hit
+    entry_pos = o + d * res_entry.t[:, None]
+    shifted_entry = entry_pos + d * SEGMENT_EPSILON
+
+    # Segment exit: min(outer BACKWARD, inner ANY) from the shifted entry.
+    res_exit = traversal.trace_mesh(outer, shifted_entry, d,
+                                    traversal.BACKWARD_ONLY, active=valid)
+    exit_t = jnp.where(res_exit.hit, res_exit.t, SEGMENT_EPSILON)
+    res_inner = traversal.trace_mesh(inner, shifted_entry, d,
+                                     traversal.ANY, active=valid)
+    inner_t = jnp.where(res_inner.hit, res_inner.t, 1e30)
+    seg_t = jnp.where(res_inner.hit & (inner_t < exit_t), inner_t, exit_t)
+    exit_pos = shifted_entry + d * seg_t[:, None]
+
+    # Ground truth: closest original-mesh hit from the shifted entry, counted
+    # as "inside the segment" if it lands before the segment end.
+    res_gt = traversal.trace_mesh(gt_mesh, shifted_entry, d, traversal.ANY,
+                                  active=valid)
+    inside = res_gt.hit & (res_gt.t <= seg_t + SEGMENT_EPSILON)
+    presence = (valid & inside).astype(jnp.float32)
+
+    hd = compute_hit_data(gt_mesh, shifted_entry, d, res_gt.tri, res_gt.u,
+                          res_gt.v, res_gt.t)
+    from ..ops.intersect import resolve_material
+    from ..scene.materials import Material
+    import numpy as _np
+    global_row = jnp.asarray(_np.asarray(Material.default().scalar_row()))
+    rm = resolve_material(gt_mesh, hd.material_id, hd.uv, global_row)
+
+    # Network inputs, identical to buildSegmentNeuralInputsKernel.
+    norm_entry = (shifted_entry - outer_min) * outer_inv_extent
+    norm_exit = (exit_pos - outer_min) * outer_inv_extent
+    mid = 0.5 * (shifted_entry + exit_pos)
+    norm_mid = (mid - outer_min) * outer_inv_extent
+    dir01 = (d + 1.0) * 0.5
+    inputs = jnp.concatenate([norm_entry, norm_exit, norm_mid, dir01], axis=-1)
+
+    return SegmentBatch(
+        inputs=inputs,
+        presence=presence,
+        distance=jnp.where(inside, res_gt.t, 0.0),
+        normal=jnp.where(inside[:, None], hd.shading_normal, 0.0),
+        color=jnp.where(inside[:, None], rm.base_color, 0.0),
+        valid=valid,
+    )

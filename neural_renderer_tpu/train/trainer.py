@@ -1,0 +1,128 @@
+"""Online training loop: optax Adam + orbax checkpoints + flat-blob export.
+
+The piece the reference only gestures at (its C++ runtime is inference-only;
+SURVEY.md caveats): train the shell network against ground-truth mesh queries
+generated on the fly, checkpoint with orbax, and export to the reference's
+flat FP16 blob for cross-validation with loadWeightsFromFile.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import nbvh
+from .dataset import sample_segment_batch
+from .losses import LossWeights, shell_losses
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 16384
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-6
+    steps: int = 2000
+    compute_dtype: str = "bfloat16"
+    seed: int = 0
+    log_every: int = 100
+    checkpoint_every: int = 1000
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: TrainConfig):
+    return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+
+
+def init_train_state(cfg: TrainConfig, net_config: nbvh.NbvhConfig) -> TrainState:
+    params = nbvh.init_params(jax.random.PRNGKey(cfg.seed), net_config)
+    opt = make_optimizer(cfg)
+    return TrainState(params=params, opt_state=opt.init(params),
+                      step=jnp.int32(0))
+
+
+def loss_fn(params, batch, net_config, compute_dtype):
+    outputs = nbvh.apply(params, batch.inputs, net_config,
+                         compute_dtype=compute_dtype)
+    return shell_losses(outputs, batch)
+
+
+def make_train_step(cfg: TrainConfig, net_config: nbvh.NbvhConfig,
+                    gt_mesh, outer, inner, outer_min, outer_inv_extent,
+                    radius: float, donate: bool = True):
+    """Build the jitted (state, key) -> (state, metrics) step: sample a fresh
+    segment batch on-device, compute grads, Adam update."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    opt = make_optimizer(cfg)
+
+    def step(state: TrainState, key) -> tuple[TrainState, dict]:
+        batch = sample_segment_batch(key, gt_mesh, outer, inner, outer_min,
+                                     outer_inv_extent, cfg.batch_size, radius)
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, net_config, compute_dtype)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_step_on_batch(cfg: TrainConfig, net_config: nbvh.NbvhConfig):
+    """(state, batch) -> (state, metrics), batch supplied externally — the
+    entry point for dp-sharded batches (parallel/shardings.py)."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    opt = make_optimizer(cfg)
+
+    def step(state: TrainState, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, net_config, compute_dtype)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax) + flat-blob export
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(ckpt_dir: str, state: TrainState):
+    import orbax.checkpoint as ocp
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    with ocp.StandardCheckpointer() as ckptr:
+        path = os.path.join(ckpt_dir, f"step_{int(state.step)}")
+        ckptr.save(path, {"params": state.params,
+                          "opt_state": state.opt_state,
+                          "step": state.step}, force=True)
+    return path
+
+
+def restore_checkpoint(path: str, cfg: TrainConfig,
+                       net_config: nbvh.NbvhConfig) -> TrainState:
+    import orbax.checkpoint as ocp
+    template = init_train_state(cfg, net_config)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            {"params": template.params, "opt_state": template.opt_state,
+             "step": template.step})
+    return TrainState(restored["params"], restored["opt_state"], restored["step"])
+
+
+def export_reference_blob(path: str, state: TrainState,
+                          net_config: nbvh.NbvhConfig):
+    """Write the reference-compatible flat FP16 checkpoint."""
+    nbvh.save_flat_blob(path, state.params, net_config, swap_param_order=True)
