@@ -115,6 +115,48 @@ def measure(device, width, height, spp, bounces, frames, compute_dtype):
     return rays / dt / 1e6
 
 
+def _cpu_baseline_mrays(bounces: int) -> float | None:
+    """CPU Mrays/s of the same pipeline, measured in a subprocess (the CPU
+    and TPU backends don't coexist reliably in one process here) and cached
+    in bench_cpu_baseline.json — the pipeline is resolution-independent in
+    rays/s, so a small frame suffices and the cache spares the driver a
+    multi-minute single-core XLA compile every round."""
+    if os.environ.get("BENCH_SKIP_CPU") == "1":
+        return None
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_cpu_baseline.json")
+    if os.path.exists(cache):
+        try:
+            with open(cache) as f:
+                data = json.load(f)
+            if data.get("bounces") == bounces:
+                return float(data["cpu_mrays"])
+        except (OSError, ValueError, KeyError):
+            pass
+    import subprocess
+    code = (
+        "import os,json,sys;"
+        "os.environ['JAX_PLATFORM_NAME']='cpu';"
+        "import jax;jax.config.update('jax_platforms','cpu');"
+        "sys.path.insert(0, %r);"
+        "import bench,jax.numpy as jnp;"
+        "m=bench.measure(jax.devices('cpu')[0],192,108,1,%d,1,jnp.float32);"
+        "print(json.dumps({'cpu_mrays':m}))"
+    ) % (os.path.dirname(os.path.abspath(__file__)), bounces)
+    try:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             timeout=3600, text=True)
+        line = out.stdout.strip().splitlines()[-1]
+        mrays = float(json.loads(line)["cpu_mrays"])
+        with open(cache, "w") as f:
+            json.dump({"cpu_mrays": mrays, "bounces": bounces,
+                       "workload": "192x108 spp1 neural"}, f)
+        return mrays
+    except Exception as e:  # pragma: no cover
+        print(f"CPU baseline failed: {e}", file=sys.stderr)
+        return None
+
+
 def main():
     import jax
 
@@ -130,15 +172,9 @@ def main():
     mrays = measure(accel, width, height, spp, bounces, frames, jnp.bfloat16)
 
     vs_baseline = None
-    if os.environ.get("BENCH_SKIP_CPU") != "1" and accel.platform != "cpu":
-        try:
-            cpu = jax.devices("cpu")[0]
-            # Same program at 1/100 the pixel count; rays/s extrapolates.
-            cpu_mrays = measure(cpu, 192, 108, 1, bounces, 1, jnp.float32)
-            if cpu_mrays > 0:
-                vs_baseline = mrays / (10.0 * cpu_mrays)
-        except Exception as e:  # pragma: no cover
-            print(f"CPU baseline failed: {e}", file=sys.stderr)
+    cpu_mrays = _cpu_baseline_mrays(bounces)
+    if cpu_mrays:
+        vs_baseline = mrays / (10.0 * cpu_mrays)
     if vs_baseline is None:
         vs_baseline = 1.0
 

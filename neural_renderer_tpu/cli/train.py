@@ -1,0 +1,100 @@
+"""train CLI: online training of the shell network for a scene config.
+
+The subsystem the reference's C++ runtime lacks (inference-only; SURVEY.md
+caveats). Samples shell segments against the ground-truth mesh on-device,
+optimizes with Adam, checkpoints with orbax, and exports the
+reference-compatible flat FP16 blob so evaluate/viewer (ours or the CUDA
+build) can load the result.
+
+Usage: python -m neural_renderer_tpu.cli.train <config.json>
+         [--steps N --batch-size B --lr LR --out weights.bin --ckpt-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Shell-network trainer")
+    parser.add_argument("config")
+    parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--batch-size", type=int, default=16384)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--out", default="", help="flat FP16 blob output path")
+    parser.add_argument("--ckpt-dir", default="", help="orbax checkpoint dir")
+    parser.add_argument("--resume", default="", help="orbax checkpoint to resume")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log-every", type=int, default=100)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import load_config
+    from ..models import nbvh
+    from ..scene.scene import Scene
+    from ..train import (TrainConfig, export_reference_blob, init_train_state,
+                         make_train_step, restore_checkpoint, save_checkpoint)
+
+    cfg = load_config(args.config)
+    scene = Scene.from_config(cfg, sphere_fallback=False)
+    if scene.outer_shell.num_triangles == 0 or scene.original_mesh.num_triangles == 0:
+        print("config must provide original mesh and outer shell", file=sys.stderr)
+        return 1
+
+    net_config = nbvh.NbvhConfig(
+        log2_hashmap_size=cfg.neural_network.log2_hashmap_size,
+        base_resolution=cfg.neural_network.base_resolution)
+    tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
+                       steps=args.steps, seed=args.seed,
+                       log_every=args.log_every)
+
+    gt = scene.original_mesh.to_arrays()
+    outer = scene.outer_shell.to_arrays()
+    inner = scene.inner_shell.to_arrays()
+    omin, omax = scene.outer_shell.bounds()
+    extent = omax - omin
+    inv_extent = np.where(extent != 0, 1.0 / np.where(extent == 0, 1, extent), 0.0)
+    radius = 1.5 * float(np.linalg.norm(omax - omin))
+
+    state = (restore_checkpoint(args.resume, tcfg, net_config) if args.resume
+             else init_train_state(tcfg, net_config))
+
+    step_fn = make_train_step(tcfg, net_config, gt, outer, inner,
+                              jnp.asarray(omin, jnp.float32),
+                              jnp.asarray(inv_extent, jnp.float32), radius)
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    t0 = time.monotonic()
+    start_step = int(state.step)
+    for i in range(start_step, args.steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, sub)
+        if (i + 1) % args.log_every == 0 or i + 1 == args.steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            rate = (i + 1 - start_step) * tcfg.batch_size / (time.monotonic() - t0)
+            print(f"step {i+1}/{args.steps} loss={m['total']:.4f} "
+                  f"presence={m['presence']:.4f} dist={m['distance']:.4f} "
+                  f"normal={m['normal']:.4f} color={m['color']:.4f} "
+                  f"({rate/1e6:.2f} Msegments/s)")
+        if args.ckpt_dir and (i + 1) % tcfg.checkpoint_every == 0:
+            path = save_checkpoint(args.ckpt_dir, state)
+            print(f"checkpoint: {path}")
+
+    if args.ckpt_dir:
+        path = save_checkpoint(args.ckpt_dir, state)
+        print(f"final checkpoint: {path}")
+    out = args.out or (os.path.splitext(args.config)[0] + "_weights.bin")
+    export_reference_blob(out, state, net_config)
+    print(f"exported flat FP16 blob: {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

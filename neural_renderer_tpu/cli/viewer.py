@@ -1,0 +1,196 @@
+"""viewer CLI: interactive / headless progressive renderer.
+
+(ref: /root/reference/src/viewer.cu). The GLFW+OpenGL+ImGui stack has no TPU
+analog, so the viewer is re-thought (SURVEY.md §2.3): the render loop +
+progressive accumulation + camera controller + runtime toggles are identical,
+but display is either
+  * interactive: a matplotlib window with key bindings (WASD fly camera,
+    arrow-key look, toggles for neural query / lambert / denoiser / bounces /
+    spp, just like the ImGui panel), or
+  * headless: render N accumulation batches and write PNG frames — the mode
+    that works over SSH and drives golden tests.
+
+Runtime controls (interactive):
+  w/a/s/d/q/e move, arrows look, shift faster
+  n neural toggle, l lambert toggle, b/B bounces -/+, p/P spp -/+,
+  x denoiser toggle, c print camera matrix JSON, o save PNG, esc quit
+
+Usage: python -m neural_renderer_tpu.cli.viewer <config.json>
+         [--headless N] [--output DIR] [--width W --height H]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_renderer(args):
+    from ..config import (camera_basis_from_state, load_config,
+                          matrix_to_camera_state)
+    from ..render import RenderBasis, Renderer
+    from ..scene.scene import Scene
+    from .input_controller import CameraState, InputController
+
+    cfg = load_config(args.config)
+    scene = Scene.from_config(cfg, sphere_fallback=True)
+    print(f"Loaded original mesh: {scene.original_mesh.num_triangles} triangles")
+
+    renderer = Renderer(scene, cfg.neural_network)
+    width = args.width or cfg.rendering.width
+    height = args.height or cfg.rendering.height
+    renderer.resize(width, height)
+    renderer.set_bounce_count(cfg.rendering.bounce_count)
+    renderer.set_samples_per_pixel(args.spp)
+    renderer.set_use_neural_query(cfg.neural_network.use_neural_query)
+    renderer.set_envmap_rotation(cfg.environment.rotation)
+    renderer.set_constant_neural_color(cfg.material.use_constant_neural_color,
+                                       cfg.material.constant_neural_color)
+    if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+        if renderer.load_weights_from_file(cfg.checkpoint_path):
+            print(f"Loaded checkpoint: {cfg.checkpoint_path}")
+
+    pos, yaw, pitch = matrix_to_camera_state(cfg.camera.matrix)
+    pos = pos * cfg.original_mesh.scale
+    camera = CameraState(position=pos, yaw=yaw, pitch=pitch,
+                         fov_y=cfg.camera.yfov)
+    controller = InputController(camera)
+    # Auto move speed = 0.15 x bbox diagonal (viewer.cu:174-198).
+    if cfg.camera.move_speed > 0:
+        controller.set_move_speed(cfg.camera.move_speed)
+    else:
+        bmin, bmax = scene.original_mesh.bounds()
+        controller.set_move_speed(0.15 * float(np.linalg.norm(bmax - bmin)) or 1.0)
+
+    def current_basis():
+        from ..render import RenderBasis
+        b = controller.basis
+        return RenderBasis(b.forward, b.right, b.up, controller.camera.fov_y)
+
+    return cfg, renderer, controller, current_basis
+
+
+def run_headless(args):
+    cfg, renderer, controller, current_basis = build_renderer(args)
+    os.makedirs(args.output, exist_ok=True)
+    from ..metrics import save_png
+
+    renderer.set_camera_basis(current_basis())
+    for i in range(args.headless):
+        img = renderer.render(controller.camera.position)
+        fps = 1.0 / max(renderer.last_frame_seconds, 1e-9)
+        print(f"frame {i}: {renderer.accum_sample_count} spp accumulated, "
+              f"{renderer.mrays_per_second:.1f} Mrays/s, {fps:.2f} fps")
+        if args.save_sequence:
+            save_png(os.path.join(args.output, f"frame_{i:04d}.png"), img)
+    save_png(os.path.join(args.output, "viewer_final.png"),
+             renderer.device_pixels())
+    return 0
+
+
+def run_interactive(args):
+    try:
+        import matplotlib
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; use --headless", file=sys.stderr)
+        return 1
+
+    cfg, renderer, controller, current_basis = build_renderer(args)
+    from ..config import camera_state_to_matrix
+    from ..metrics import save_png
+
+    pressed: set[str] = set()
+    state = {"quit": False, "dirty": True}
+
+    keymap = {"w": "w", "a": "a", "s": "s", "d": "d", "q": "q", "e": "e",
+              " ": "space", "shift": "shift", "control": "ctrl"}
+
+    def on_key(event):
+        k = (event.key or "").lower()
+        if k == "escape":
+            state["quit"] = True
+        elif k in keymap:
+            pressed.add(keymap[k])
+        elif k == "up":
+            controller.apply_mouse_delta(0, 20)
+        elif k == "down":
+            controller.apply_mouse_delta(0, -20)
+        elif k == "left":
+            controller.apply_mouse_delta(-20, 0)
+        elif k == "right":
+            controller.apply_mouse_delta(20, 0)
+        elif k == "n":
+            renderer.set_use_neural_query(not renderer.use_neural_query)
+        elif k == "l":
+            renderer.set_lambert_view(not renderer.lambert_view)
+        elif k == "x":
+            renderer.set_denoise(not renderer.denoise)
+        elif k == "b":
+            renderer.set_bounce_count(max(0, renderer.bounce_count - 1))
+        elif k == "B":
+            renderer.set_bounce_count(renderer.bounce_count + 1)
+        elif k == "c":
+            m = camera_state_to_matrix(controller.camera.position,
+                                       controller.camera.yaw,
+                                       controller.camera.pitch)
+            print(json.dumps({"matrix": [float(v) for v in m],
+                              "yfov": controller.camera.fov_y}))
+        elif k == "o":
+            save_png("viewer_capture.png", renderer.device_pixels())
+
+    def on_release(event):
+        k = (event.key or "").lower()
+        if k in keymap:
+            pressed.discard(keymap[k])
+
+    fig, ax = plt.subplots(figsize=(10, 6))
+    fig.canvas.mpl_connect("key_press_event", on_key)
+    fig.canvas.mpl_connect("key_release_event", on_release)
+    im = ax.imshow(np.zeros((renderer.height, renderer.width, 3), np.uint8))
+    ax.axis("off")
+    plt.ion()
+    plt.show()
+
+    last = time.monotonic()
+    while not state["quit"] and plt.fignum_exists(fig.number):
+        now = time.monotonic()
+        dt = now - last
+        last = now
+        if pressed:
+            controller.apply_keys(pressed, dt)
+        renderer.set_camera_basis(current_basis())
+        img = renderer.render(controller.camera.position)
+        im.set_data(img)
+        ax.set_title(f"{renderer.accum_sample_count} spp | "
+                     f"{renderer.mrays_per_second:.0f} Mrays/s | "
+                     f"neural={renderer.use_neural_query}")
+        fig.canvas.draw_idle()
+        fig.canvas.flush_events()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Interactive neural renderer viewer")
+    parser.add_argument("config", nargs="?", default="configs/statuette_obj.json")
+    parser.add_argument("--headless", type=int, default=0, metavar="N",
+                        help="render N accumulation batches without a window")
+    parser.add_argument("--output", default="viewer_output")
+    parser.add_argument("--save-sequence", action="store_true")
+    parser.add_argument("--width", type=int, default=0)
+    parser.add_argument("--height", type=int, default=0)
+    parser.add_argument("--spp", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    if args.headless > 0:
+        return run_headless(args)
+    return run_interactive(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

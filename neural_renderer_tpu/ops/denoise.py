@@ -1,0 +1,71 @@
+"""Joint bilateral denoiser — implemented AND wired in.
+
+The reference ships this kernel fully written but never launches it
+(denoiser.cuh:46-113 is dormant; SURVEY.md caveats). Same parameters here:
+11x11 window (radius 5), spatial sigma 3, normal-similarity dot^64, albedo
+Gaussian sigma 0.1. Input is the running linear-HDR accumulation buffer plus
+sample-0 primary-hit guide normals/albedo; output is the denoised sRGB u8
+image.
+
+XLA-native formulation: the 121 taps are a static python loop of shifted
+whole-image multiply-adds over padded arrays — fused into one elementwise
+kernel, no gather/scatter.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from .srgb import encode_srgb_u8
+
+DENOISE_RADIUS = 5
+SIGMA_SPATIAL = 3.0
+NORMAL_ALPHA = 64.0
+SIGMA_ALBEDO = 0.1
+
+
+def bilateral_denoise(accum, accum_count, guide_normals, guide_albedo):
+    """accum: [H, W, 3] linear HDR sums; accum_count: scalar; guides
+    [H, W, 3]. Returns denoised u8 image [H, W, 3]."""
+    inv_accum = 1.0 / jnp.maximum(1.0, accum_count)
+    color = accum * inv_accum
+
+    r = DENOISE_RADIUS
+    inv_ss2 = 1.0 / (2.0 * SIGMA_SPATIAL * SIGMA_SPATIAL)
+    inv_sa2 = 1.0 / (2.0 * SIGMA_ALBEDO * SIGMA_ALBEDO)
+
+    # Zero-pad; padded taps get zero weight via a validity mask (matches the
+    # reference's window clipping at image borders).
+    pad = ((r, r), (r, r), (0, 0))
+    color_p = jnp.pad(color, pad)
+    normals_p = jnp.pad(guide_normals, pad)
+    albedo_p = jnp.pad(guide_albedo, pad)
+    valid_p = jnp.pad(jnp.ones(color.shape[:2] + (1,), color.dtype), pad)
+
+    h, w = color.shape[:2]
+    weighted = jnp.zeros_like(color)
+    total_w = jnp.zeros(color.shape[:2] + (1,), color.dtype)
+
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            sl = (slice(r + dy, r + dy + h), slice(r + dx, r + dx + w))
+            n_color = color_p[sl]
+            n_norm = normals_p[sl]
+            n_alb = albedo_p[sl]
+            n_valid = valid_p[sl]
+
+            w_spatial = math.exp(-(dx * dx + dy * dy) * inv_ss2)
+            ndot = jnp.clip(jnp.sum(guide_normals * n_norm, axis=-1,
+                                    keepdims=True), 0.0, 1.0)
+            w_normal = jnp.power(ndot, NORMAL_ALPHA)
+            da = n_alb - guide_albedo
+            w_albedo = jnp.exp(-jnp.sum(da * da, axis=-1, keepdims=True) * inv_sa2)
+
+            wgt = w_spatial * w_normal * w_albedo * n_valid
+            weighted = weighted + n_color * wgt
+            total_w = total_w + wgt
+
+    out = jnp.where(total_w > 0.0, weighted / jnp.maximum(total_w, 1e-20), color)
+    return encode_srgb_u8(out)

@@ -23,9 +23,10 @@ from .neural_march import NeuralContext, check_bounce_early_termination, \
 
 def render_neural_frame(ctx: NeuralContext, additional_mesh, env, params, accum,
                         use_additional: bool = False,
-                        compute_dtype=jnp.bfloat16):
+                        compute_dtype=jnp.bfloat16,
+                        return_guides: bool = False):
     """One accumulation batch of neural path tracing.
-    Returns (image_u8, new_accum)."""
+    Returns (image_u8, new_accum)[, (guide_normals, guide_albedo)]."""
     pixel_idx, sample_of, _, origins, dirs = pt.primary_rays(params)
 
     hits = trace_neural_segments(ctx, params, origins, dirs, camera_rays=True,
@@ -65,7 +66,10 @@ def render_neural_frame(ctx: NeuralContext, additional_mesh, env, params, accum,
         incoming = rays.direction
         cur_hits = bounce_hits
 
-    return pt.finalize(params, path.radiance, accum)
+    img, new_accum = pt.finalize(params, path.radiance, accum)
+    if return_guides:
+        return img, new_accum, pt.guide_buffers(params, hits)
+    return img, new_accum
 
 
 def render_neural_lambert(ctx: NeuralContext, additional_mesh, env, params,

@@ -312,13 +312,24 @@ def select_closest_hits(params, a: HitState, b: HitState, ray_origins) -> HitSta
 # Full GT frame (render() GT branch, cuda_renderer_neural.cu:2546-2733)
 # ---------------------------------------------------------------------------
 
-def render_gt_frame(mesh, env, params, accum, row0=0, n_rows=None):
+def guide_buffers(params, hits: HitState, n_rows=None):
+    """Sample-0 primary-hit normals/albedo reshaped to [rows, W, 3] — the
+    denoiser guides (denoiser.cuh:43-45)."""
+    rows = n_rows if n_rows is not None else params.height
+    p = rows * params.width
+    normals = hits.normal[:p].reshape(rows, params.width, 3)
+    albedo = hits.albedo[:p].reshape(rows, params.width, 3)
+    return normals, albedo
+
+
+def render_gt_frame(mesh, env, params, accum, row0=0, n_rows=None,
+                    return_guides: bool = False):
     """One accumulation batch of ground-truth path tracing.
 
-    Returns (image_u8, new_accum). Must be called with sample_offset advanced
-    by samples_per_pixel between calls (evaluate.cu:253-264 semantics).
-    row0/n_rows render a horizontal stripe (tile data parallelism); accum
-    must then cover just that stripe.
+    Returns (image_u8, new_accum)[, (guide_normals, guide_albedo)]. Must be
+    called with sample_offset advanced by samples_per_pixel between calls
+    (evaluate.cu:253-264 semantics). row0/n_rows render a horizontal stripe
+    (tile data parallelism); accum must then cover just that stripe.
     """
     pixel_idx, sample_of, _, origins, dirs = primary_rays(params, row0, n_rows)
     hits = trace_primary_gt(mesh, params, origins, dirs)
@@ -336,7 +347,10 @@ def render_gt_frame(mesh, env, params, accum, row0=0, n_rows=None):
         incoming = rays.direction
         cur_hits = bounce_hits
 
-    return finalize(params, path.radiance, accum)
+    img, new_accum = finalize(params, path.radiance, accum)
+    if return_guides:
+        return img, new_accum, guide_buffers(params, hits, n_rows)
+    return img, new_accum
 
 
 def render_gt_lambert(mesh, env, params):

@@ -1,0 +1,227 @@
+"""Stage-timing harness: the PROFILE_KERNELS equivalent.
+
+The reference wraps every major dispatch in cudaEvent pairs and aggregates 13
+KernelId categories into per-frame ms / ns-per-ray / Mrays
+(cuda_renderer_neural.h:17-66, viewer.cu:520-590). Here the production frame
+is ONE fused XLA program, so per-stage attribution requires running the
+stages as separately-jitted programs with block_until_ready timing. The
+category totals therefore slightly exceed the fused frame time (materialized
+intermediates); use `frame_total` for end-to-end numbers and the categories
+for relative attribution. For instruction-level detail use
+jax.profiler.trace(...) around Renderer.render().
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import traversal
+from . import pathtrace as pt
+from .neural_march import check_bounce_early_termination, trace_neural_segments
+
+# The reference's 13 KernelId categories (cuda_renderer_neural.h:17-35).
+CATEGORIES = (
+    "primaryTrace", "shellTrace", "neuralForward", "initPathState",
+    "sampleBounce", "earlyTermination", "bounceTrace",
+    "additionalMeshPrimary", "additionalMeshBounce", "selectClosestPrimary",
+    "selectClosestBounce", "integrateBounce", "finalize",
+)
+
+
+@dataclass
+class KernelTimings:
+    """Mirror of the reference's KernelTimings (cuda_renderer_neural.h:37-66)."""
+    ms: dict = field(default_factory=lambda: {k: 0.0 for k in CATEGORIES})
+    ray_count: int = 0
+    neural_ray_calls: int = 0
+    frame_total_ms: float = 0.0
+
+    def ns_per_ray(self, category: str) -> float:
+        if self.ray_count == 0:
+            return 0.0
+        return self.ms[category] * 1e6 / self.ray_count
+
+    @property
+    def mrays(self) -> float:
+        return self.ray_count / 1e6
+
+    @property
+    def neural_calls_per_ray(self) -> float:
+        return self.neural_ray_calls / max(1, self.ray_count)
+
+    def table(self) -> str:
+        lines = [f"{'category':24s} {'ms':>9s} {'ns/ray':>9s}"]
+        for k in CATEGORIES:
+            if self.ms[k] > 0:
+                lines.append(f"{k:24s} {self.ms[k]:9.3f} {self.ns_per_ray(k):9.2f}")
+        lines.append(f"{'frame total':24s} {self.frame_total_ms:9.3f} "
+                     f"{self.frame_total_ms * 1e6 / max(1, self.ray_count):9.2f}")
+        lines.append(f"rays/frame: {self.mrays:.2f} M   "
+                     f"avg neural calls/ray: {self.neural_calls_per_ray:.2f}")
+        return "\n".join(lines)
+
+
+def _timed(fn, *args, runs=2):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return out, (time.perf_counter() - t0) / runs * 1e3
+
+
+def profile_gt_frame(mesh, env, params, accum=None, runs=2) -> KernelTimings:
+    """Per-stage timings for the GT branch."""
+    t = KernelTimings()
+    t.ray_count = params.pixel_count * params.samples_per_pixel
+    if accum is None:
+        accum = jnp.zeros((params.pixel_count, 3), jnp.float32)
+
+    prim = jax.jit(lambda p: pt.primary_rays(p))
+    (pixel_idx, sample_of, _, origins, dirs), _ = _timed(prim, params, runs=runs)
+
+    hits, ms = _timed(jax.jit(pt.trace_primary_gt), mesh, params, origins, dirs,
+                      runs=runs)
+    t.ms["primaryTrace"] = ms
+
+    path, ms = _timed(jax.jit(pt.init_path_state), params, env, hits, dirs,
+                      runs=runs)
+    t.ms["initPathState"] = ms
+
+    incoming = None
+    cur_hits = hits
+    for bounce in range(1, params.max_bounces + 1):
+        sample = jax.jit(lambda p, pi, so, h, a, inc: pt.sample_bounce_directions(
+            p, pi, so, h, a, inc))
+        rays, ms = _timed(sample, params, pixel_idx, sample_of, cur_hits,
+                          path.active, incoming, runs=runs)
+        t.ms["sampleBounce"] += ms
+        path = pt.update_active_after_sampling(path, cur_hits, rays)
+
+        bh, ms = _timed(jax.jit(pt.trace_bounces_gt), mesh, params, rays,
+                        runs=runs)
+        t.ms["bounceTrace"] += ms
+
+        integrate = jax.jit(lambda p, e, pa, b, r, pi, so, bi=bounce:
+                            pt.integrate_bounce(p, e, pa, b, r, bi, pi, so))
+        path, ms = _timed(integrate, params, env, path, bh, rays, pixel_idx,
+                          sample_of, runs=runs)
+        t.ms["integrateBounce"] += ms
+        incoming = rays.direction
+        cur_hits = bh
+
+    (_, _), ms = _timed(jax.jit(pt.finalize), params, path.radiance, accum,
+                        runs=runs)
+    t.ms["finalize"] = ms
+
+    # End-to-end fused frame for the headline number.
+    frame = jax.jit(pt.render_gt_frame)
+    _, t.frame_total_ms = _timed(frame, mesh, env, params, accum, runs=runs)
+    return t
+
+
+def profile_neural_frame(ctx, additional_mesh, env, params, accum=None,
+                         use_additional=False, compute_dtype=jnp.bfloat16,
+                         runs=2) -> KernelTimings:
+    """Per-stage timings for the neural branch. The shell march (shellTrace +
+    neuralForward) is one fused while_loop; it is reported under shellTrace
+    with a separate neuralForward estimate from a standalone network call at
+    the march's ray count."""
+    from ..models import nbvh
+    from .neural_frame import render_neural_frame
+
+    t = KernelTimings()
+    n = params.pixel_count * params.samples_per_pixel
+    t.ray_count = n
+    if accum is None:
+        accum = jnp.zeros((params.pixel_count, 3), jnp.float32)
+
+    prim = jax.jit(lambda p: pt.primary_rays(p))
+    (pixel_idx, sample_of, _, origins, dirs), _ = _timed(prim, params, runs=runs)
+
+    march = jax.jit(lambda c, p, o, d: trace_neural_segments(
+        c, p, o, d, camera_rays=True, compute_dtype=compute_dtype))
+    hits, ms = _timed(march, ctx, params, origins, dirs, runs=runs)
+    t.ms["shellTrace"] = ms
+
+    # Standalone network forward at the full ray batch == one march iteration
+    # worth of MLP work.
+    net_in = jnp.zeros((n, ctx.config.input_dims), jnp.float32)
+    fwd = jax.jit(lambda p, x: nbvh.apply(p, x, ctx.config,
+                                          compute_dtype=compute_dtype))
+    _, ms = _timed(fwd, ctx.net_params, net_in, runs=runs)
+    t.ms["neuralForward"] = ms
+    t.neural_ray_calls = n  # one march iteration per ray, lower bound
+
+    if use_additional and not additional_mesh.is_empty:
+        add = jax.jit(lambda m, p, o, d: pt.trace_rays_mesh(
+            m, p, o, d, traversal.FORWARD_ONLY))
+        add_hits, ms = _timed(add, additional_mesh, params, origins, dirs,
+                              runs=runs)
+        t.ms["additionalMeshPrimary"] = ms
+        sel = jax.jit(pt.select_closest_hits)
+        hits, ms = _timed(sel, params, hits, add_hits, origins, runs=runs)
+        t.ms["selectClosestPrimary"] = ms
+
+    path, ms = _timed(jax.jit(pt.init_path_state), params, env, hits, dirs,
+                      runs=runs)
+    t.ms["initPathState"] = ms
+
+    incoming = None
+    cur_hits = hits
+    for bounce in range(1, params.max_bounces + 1):
+        sample = jax.jit(lambda p, pi, so, h, a, inc: pt.sample_bounce_directions(
+            p, pi, so, h, a, inc))
+        rays, ms = _timed(sample, params, pixel_idx, sample_of, cur_hits,
+                          path.active, incoming, runs=runs)
+        t.ms["sampleBounce"] += ms
+        path = pt.update_active_after_sampling(path, cur_hits, rays)
+
+        early = jax.jit(lambda o, i, p, r, a: check_bounce_early_termination(
+            o, i, p, r, a))
+        active, ms = _timed(early, ctx.outer, ctx.inner, params, rays,
+                            path.active, runs=runs)
+        t.ms["earlyTermination"] += ms
+        path = path._replace(active=active)
+
+        march_b = jax.jit(lambda c, p, r, a: trace_neural_segments(
+            c, p, r.origin, r.direction, ray_active=a, pdfs=r.pdf,
+            camera_rays=False, compute_dtype=compute_dtype))
+        bh, ms = _timed(march_b, ctx, params, rays, path.active, runs=runs)
+        t.ms["shellTrace"] += ms
+        t.neural_ray_calls += n
+
+        if use_additional and not additional_mesh.is_empty:
+            addb = jax.jit(lambda m, p, r: pt.trace_rays_mesh(
+                m, p, r.origin, r.direction, traversal.ANY,
+                active=r.pdf > 0.0))
+            add_hits, ms = _timed(addb, additional_mesh, params, rays, runs=runs)
+            t.ms["additionalMeshBounce"] += ms
+            sel = jax.jit(pt.select_closest_hits)
+            bh, ms = _timed(sel, params, bh, add_hits, rays.origin, runs=runs)
+            t.ms["selectClosestBounce"] += ms
+
+        integrate = jax.jit(lambda p, e, pa, b, r, pi, so, bi=bounce:
+                            pt.integrate_bounce(p, e, pa, b, r, bi, pi, so))
+        path, ms = _timed(integrate, params, env, path, bh, rays, pixel_idx,
+                          sample_of, runs=runs)
+        t.ms["integrateBounce"] += ms
+        incoming = rays.direction
+        cur_hits = bh
+
+    (_, _), ms = _timed(jax.jit(pt.finalize), params, path.radiance, accum,
+                        runs=runs)
+    t.ms["finalize"] = ms
+
+    frame = jax.jit(render_neural_frame,
+                    static_argnames=("use_additional", "compute_dtype"))
+    _, t.frame_total_ms = _timed(
+        frame, ctx, additional_mesh, env, params, accum, runs=runs)
+    return t

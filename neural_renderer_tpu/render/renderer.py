@@ -62,6 +62,8 @@ class Renderer:
         self.use_direct_env_color = False
         self.direct_env_color = (0.0, 0.0, 0.0)
         self.compute_dtype = jnp.bfloat16
+        self.denoise = False
+        self._guides = None
 
         self.basis = RenderBasis(np.array([0.0, 0.0, -1.0]),
                                  np.array([1.0, 0.0, 0.0]),
@@ -74,15 +76,18 @@ class Renderer:
         self.last_frame_seconds = 0.0
         self.last_frame_rays = 0
 
-        self._jit_gt = jax.jit(render_gt_frame, donate_argnums=(3,))
+        self._jit_gt = jax.jit(render_gt_frame, donate_argnums=(3,),
+                               static_argnames=("return_guides",))
         self._jit_gt_lambert = jax.jit(render_gt_lambert)
         self._jit_neural = jax.jit(
             render_neural_frame,
-            static_argnames=("use_additional", "compute_dtype"),
+            static_argnames=("use_additional", "compute_dtype", "return_guides"),
             donate_argnums=(4,))
         self._jit_neural_lambert = jax.jit(
             render_neural_lambert,
             static_argnames=("use_additional", "compute_dtype"))
+        from ..ops.denoise import bilateral_denoise
+        self._jit_denoise = jax.jit(bilateral_denoise)
 
     # -- RendererNeural setter API -------------------------------------------
     def resize(self, width: int, height: int):
@@ -123,6 +128,11 @@ class Renderer:
     def set_direct_env_color(self, use: bool, color=(0.0, 0.0, 0.0)):
         self.use_direct_env_color = bool(use)
         self.direct_env_color = tuple(color)
+
+    def set_denoise(self, v: bool):
+        """Enable the joint bilateral denoiser (wired in here; dormant in the
+        reference — denoiser.cuh:46-113)."""
+        self.denoise = bool(v)
 
     def reset_samples(self):
         self._accum = None
@@ -243,6 +253,12 @@ class Renderer:
                     ctx, add, env, params, use_additional=use_add,
                     compute_dtype=self.compute_dtype)
                 self._accum_sample_count = 0
+            elif self.denoise:
+                img, self._accum, self._guides = self._jit_neural(
+                    ctx, add, env, params, self._accum,
+                    use_additional=use_add, compute_dtype=self.compute_dtype,
+                    return_guides=True)
+                self._accum_sample_count += self.samples_per_pixel
             else:
                 img, self._accum = self._jit_neural(
                     ctx, add, env, params, self._accum,
@@ -253,10 +269,19 @@ class Renderer:
             if self.lambert_view:
                 img = self._jit_gt_lambert(mesh, env, params)
                 self._accum_sample_count = 0
+            elif self.denoise:
+                img, self._accum, self._guides = self._jit_gt(
+                    mesh, env, params, self._accum, return_guides=True)
+                self._accum_sample_count += self.samples_per_pixel
             else:
                 img, self._accum = self._jit_gt(mesh, env, params, self._accum)
                 self._accum_sample_count += self.samples_per_pixel
 
+        if self.denoise and not self.lambert_view and self._guides is not None:
+            normals, albedo = self._guides
+            img = self._jit_denoise(
+                self._accum.reshape(self.height, self.width, 3),
+                jnp.float32(self._accum_sample_count), normals, albedo)
         img = np.asarray(jax.block_until_ready(img))
         self.last_frame_seconds = time.perf_counter() - t0
         self.last_frame_rays = self.width * self.height * self.samples_per_pixel
