@@ -92,24 +92,32 @@ def make_frame_fn(device, width, height, spp, bounces, compute_dtype):
         return frame(ctx, add_a, env, p, accum, use_additional=False,
                      compute_dtype=compute_dtype)
 
-    accum0 = jax.device_put(jnp.zeros((width * height, 3), jnp.float32), device)
+    accum0 = jax.device_put(jnp.zeros((3, width * height), jnp.float32), device)
     return run, accum0
 
 
-def measure(device, width, height, spp, bounces, frames, compute_dtype):
-    import jax
+def _sync(x):
+    """Force completion with a tiny scalar readback.
 
+    jax.block_until_ready is not a reliable barrier on the remote 'axon'
+    platform and a bulk np.asarray would time the network tunnel instead of
+    the device; an on-device reduction + scalar transfer is both."""
+    import jax.numpy as jnp
+    return float(jnp.sum(x.astype(jnp.int32)))
+
+
+def measure(device, width, height, spp, bounces, frames, compute_dtype):
     run, accum = make_frame_fn(device, width, height, spp, bounces, compute_dtype)
     # Warmup / compile.
     img, accum = run(accum, 0)
-    jax.block_until_ready(img)
+    _sync(img)
 
     t0 = time.perf_counter()
     offset = spp
     for i in range(frames):
         img, accum = run(accum, offset)
         offset += spp
-    jax.block_until_ready(img)
+    _sync(img)
     dt = time.perf_counter() - t0
     rays = width * height * spp * frames
     return rays / dt / 1e6

@@ -15,8 +15,10 @@ direction. Semantics follow tcnn's grid.h:
   * trilinear interpolation of 8 corners, features interleaved per entry
   * output layout level-major: [L0f0..L0f3, L1f0.., ...]
 
-This is the oracle implementation; the fused Pallas encode+MLP kernel
-(ops/fused_network.py) must match it bitwise in f32.
+TPU layout: inputs are channel-major [3, N]; feature gathers pull per-feature
+[N] columns (a [N, 4]-row gather would lane-pad 32x — ops/linalg.py). The
+table parameter layout stays [entries, features] for checkpoint parity; the
+transpose happens once per call inside the encode.
 """
 
 from __future__ import annotations
@@ -95,8 +97,9 @@ def _corner_index(cfg: HashGridConfig, level: int, ix, iy, iz):
     return (idx % jnp.uint32(entries)).astype(jnp.int32)
 
 
-def hashgrid_encode(tables, x, config: HashGridConfig):
-    """x: [N, 3] in [0, 1]. Returns [N, L*F] level-major features."""
+def hashgrid_encode_features(tables, x, config: HashGridConfig):
+    """x: [3, N] in [0, 1]. Returns list of L*F feature arrays [N]
+    (level-major, feature order within level)."""
     outs = []
     for level in range(config.n_levels):
         scale = jnp.float32(config.level_scale(level))
@@ -105,20 +108,26 @@ def hashgrid_encode(tables, x, config: HashGridConfig):
         w = p - corner
         c0 = corner.astype(jnp.int32)
 
-        table = tables[level]
-        feat = 0.0
+        table_t = tables[level].T  # [F, E] — feature-major for dense gathers
+        feats = [0.0] * config.n_features
         for dz in (0, 1):
             for dy in (0, 1):
                 for dx in (0, 1):
                     idx = _corner_index(config, level,
-                                        c0[:, 0] + dx, c0[:, 1] + dy, c0[:, 2] + dz)
-                    f = jnp.take(table, idx, axis=0)  # [N, F]
-                    wx = w[:, 0] if dx else (1.0 - w[:, 0])
-                    wy = w[:, 1] if dy else (1.0 - w[:, 1])
-                    wz = w[:, 2] if dz else (1.0 - w[:, 2])
-                    feat = feat + f * (wx * wy * wz)[:, None]
-        outs.append(feat)
-    return jnp.concatenate(outs, axis=-1)
+                                        c0[0] + dx, c0[1] + dy, c0[2] + dz)
+                    wx = w[0] if dx else (1.0 - w[0])
+                    wy = w[1] if dy else (1.0 - w[1])
+                    wz = w[2] if dz else (1.0 - w[2])
+                    wc = wx * wy * wz
+                    for f in range(config.n_features):
+                        feats[f] = feats[f] + jnp.take(table_t[f], idx) * wc
+        outs.extend(feats)
+    return outs
+
+
+def hashgrid_encode(tables, x, config: HashGridConfig):
+    """x: [3, N] in [0, 1]. Returns [N, L*F] level-major features."""
+    return jnp.stack(hashgrid_encode_features(tables, x, config), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -129,16 +138,17 @@ SH_DEGREE = 4
 SH_DIM = SH_DEGREE * SH_DEGREE
 
 
-def sh_encode(d01):
-    """d01: [N, 3] direction mapped to [0,1] (the pipeline stores (d+1)/2,
+def sh_encode_features(d01):
+    """d01: [3, N] direction mapped to [0,1] (the pipeline stores (d+1)/2,
     buildSegmentNeuralInputsKernel cuda_renderer_neural.cu:996-1000); tcnn
-    maps back to [-1,1] and evaluates WITHOUT normalizing. Returns [N, 16]."""
+    maps back to [-1,1] and evaluates WITHOUT normalizing. Returns a list of
+    16 arrays [N]."""
     d = d01 * 2.0 - 1.0
-    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    x, y, z = d[0], d[1], d[2]
     xy, xz, yz = x * y, x * z, y * z
     x2, y2, z2 = x * x, y * y, z * z
 
-    out = [
+    return [
         jnp.full_like(x, 0.28209479177387814),
         -0.48860251190291987 * y,
         0.48860251190291987 * z,
@@ -156,4 +166,8 @@ def sh_encode(d01):
         1.4453057213202769 * z * (x2 - y2),
         0.59004358992664352 * x * (-x2 + 3.0 * y2),
     ]
-    return jnp.stack(out, axis=-1)
+
+
+def sh_encode(d01):
+    """d01: [3, N] -> [N, 16]."""
+    return jnp.stack(sh_encode_features(d01), axis=-1)

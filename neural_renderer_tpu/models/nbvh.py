@@ -98,20 +98,25 @@ def init_params(key, config: NbvhConfig, dtype=jnp.float32):
 
 
 def encode_inputs(params, inputs, config: NbvhConfig):
-    """inputs [N, 12] -> encoded [N, encoded_dims] (f32)."""
+    """inputs [12, N] channel-major -> encoded [N, encoded_dims] (f32).
+
+    Features are collected as [N] columns and stacked ONCE, so nothing
+    materializes a lane-padded narrow array (ops/linalg.py layout note)."""
+    from .encoding import hashgrid_encode_features, sh_encode_features
     feats = []
     for p in range(config.point_count):
-        x = inputs[:, p * 3:(p + 1) * 3]
-        feats.append(hashgrid_encode(params["grids"][p], x, config.grid))
-    feats.append(sh_encode(inputs[:, config.point_count * 3:
-                                  config.point_count * 3 + 3]))
-    return jnp.concatenate(feats, axis=-1)
+        x = inputs[p * 3:(p + 1) * 3]
+        feats.extend(hashgrid_encode_features(params["grids"][p], x, config.grid))
+    feats.extend(sh_encode_features(inputs[config.point_count * 3:
+                                           config.point_count * 3 + 3]))
+    return jnp.stack(feats, axis=-1)
 
 
 def mlp_forward(mlp_params, x, compute_dtype=jnp.bfloat16):
     """Bias-free LeakyReLU MLP; matmuls on the MXU in compute_dtype with f32
     accumulation; output layer linear. compute_dtype=float32 selects the
-    accurate reference mode (full-precision MXU passes) for debugging."""
+    accurate reference mode (full-precision MXU passes) for debugging.
+    x: [N, encoded]; returns CHANNEL-MAJOR [padded_out, N] f32."""
     precision = "highest" if compute_dtype == jnp.float32 else None
     h = x.astype(compute_dtype)
     n_layers = len(mlp_params)
@@ -121,11 +126,12 @@ def mlp_forward(mlp_params, x, compute_dtype=jnp.bfloat16):
         if i < n_layers - 1:
             h = jnp.where(h > 0, h, LEAKY_SLOPE * h)
         h = h.astype(compute_dtype) if i < n_layers - 1 else h
-    return h.astype(jnp.float32)
+    return h.astype(jnp.float32).T
 
 
 def apply(params, inputs, config: NbvhConfig, compute_dtype=jnp.bfloat16):
-    """Full forward: [N, 12] -> [N, padded_output_dims] f32."""
+    """Full forward: [12, N] -> [padded_output_dims, N] f32 (channel-major:
+    row 0 = presence logit, 1 = distance, 2:5 = normal, 5:8 = color)."""
     encoded = encode_inputs(params, inputs, config)
     return mlp_forward(params["mlp"], encoded, compute_dtype=compute_dtype)
 

@@ -1,10 +1,10 @@
 """Disney principled BRDF: evaluation, importance sampling, PDFs.
 
 Vectorized port of /root/reference/src/disney_brdf.cuh (itself based on NBVH's
-material.cuh). All functions operate on [N]-batched inputs; material
-parameters arrive as a BrdfMaterial of per-ray arrays (the reference passes a
-Material struct whose constant `.value` fields were overridden per hit —
-cuda_renderer_neural.cu:441-446).
+material.cuh). All vector quantities are channel-major [3, N]
+(ops/linalg.py layout note); material parameters arrive as a BrdfMaterial of
+per-ray arrays (the reference passes a Material struct whose constant
+`.value` fields were overridden per hit — cuda_renderer_neural.cu:441-446).
 
 Two reference quirks are reproduced deliberately (they shape the sampled
 distribution and the renderer is self-consistent around them):
@@ -20,14 +20,14 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .linalg import cross, dot, lerp, luminance, normalize, reflect
+from .linalg import cross, dot, lerp, luminance, normalize, reflect, splat, where3
 
 INV_PI = 0.31830988618379067154
 TWO_PI = 6.283185307179586
 
 
 class BrdfMaterial(NamedTuple):
-    base_color: jnp.ndarray       # [N, 3]
+    base_color: jnp.ndarray       # [3, N]
     metallic: jnp.ndarray         # [N]
     roughness: jnp.ndarray        # [N]
     specular: jnp.ndarray         # [N]
@@ -44,15 +44,16 @@ class BrdfMaterial(NamedTuple):
     def broadcast_from_row(row, n: int) -> "BrdfMaterial":
         """Expand a global-material scalar row [NUM_SCALARS] to [N] batches."""
         from ..scene.materials import (
-            P_ANISOTROPY, P_BASE_B, P_BASE_R, P_CLEARCOAT, P_CLEARCOAT_GLOSS,
-            P_IOR, P_METALLIC, P_ROUGHNESS, P_SHEEN, P_SHEEN_TINT, P_SPECULAR,
-            P_SPECULAR_TINT, P_SPEC_TRANS)
+            P_ANISOTROPY, P_BASE_B, P_BASE_G, P_BASE_R, P_CLEARCOAT,
+            P_CLEARCOAT_GLOSS, P_IOR, P_METALLIC, P_ROUGHNESS, P_SHEEN,
+            P_SHEEN_TINT, P_SPECULAR, P_SPECULAR_TINT, P_SPEC_TRANS)
 
         def b(x):
             return jnp.broadcast_to(x, (n,))
 
+        base = jnp.stack([row[P_BASE_R], row[P_BASE_G], row[P_BASE_B]])
         return BrdfMaterial(
-            base_color=jnp.broadcast_to(row[P_BASE_R:P_BASE_B + 1][None, :], (n, 3)),
+            base_color=jnp.broadcast_to(base[:, None], (3, n)),
             metallic=b(row[P_METALLIC]),
             roughness=b(row[P_ROUGHNESS]),
             specular=b(row[P_SPECULAR]),
@@ -122,7 +123,7 @@ def same_hemisphere(wo, wi, n):
 def _tint(base_color):
     lum = luminance(base_color)
     safe = jnp.where(lum > 0.0, lum, 1.0)
-    return jnp.where((lum > 0.0)[..., None], base_color / safe[..., None], 1.0)
+    return jnp.where((lum > 0.0)[None, :], base_color / safe[None, :], 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -138,15 +139,15 @@ def disney_diffuse(mat, n, wo, wi):
     fi = schlick_weight(n_dot_i)
     fo = schlick_weight(n_dot_o)
     w = lerp(1.0, fd90, fi) * lerp(1.0, fd90, fo)
-    return mat.base_color * (INV_PI * w)[..., None]
+    return mat.base_color * (INV_PI * w)[None, :]
 
 
 def disney_sheen(mat, n, wo, wi):
     w_h = normalize(wi + wo, eps=1e-20)
     sheen_color = lerp(jnp.ones_like(mat.base_color), _tint(mat.base_color),
-                       mat.sheen_tint[..., None])
+                       mat.sheen_tint[None, :])
     f = schlick_weight(dot(wi, w_h))
-    return sheen_color * (f * mat.sheen)[..., None]
+    return sheen_color * (f * mat.sheen)[None, :]
 
 
 def disney_clear_coat(mat, n, wo, wi):
@@ -160,9 +161,9 @@ def disney_clear_coat(mat, n, wo, wi):
 
 def _spec_color(mat):
     spec_base = lerp(jnp.ones_like(mat.base_color), _tint(mat.base_color),
-                     mat.specular_tint[..., None])
-    spec = (mat.specular * 0.08)[..., None] * spec_base
-    return lerp(spec, mat.base_color, mat.metallic[..., None])
+                     mat.specular_tint[None, :])
+    spec = (mat.specular * 0.08)[None, :] * spec_base
+    return lerp(spec, mat.base_color, mat.metallic[None, :])
 
 
 def disney_microfacet_isotropic(mat, n, wo, wi):
@@ -170,9 +171,9 @@ def disney_microfacet_isotropic(mat, n, wo, wi):
     spec = _spec_color(mat)
     alpha = jnp.maximum(0.001, mat.roughness * mat.roughness)
     d = gtr_2(dot(n, w_h), alpha)
-    f = lerp(spec, jnp.ones_like(spec), schlick_weight(dot(wi, w_h))[..., None])
+    f = lerp(spec, jnp.ones_like(spec), schlick_weight(dot(wi, w_h))[None, :])
     g = smith_shadowing_ggx(dot(n, wi), alpha) * smith_shadowing_ggx(dot(n, wo), alpha)
-    return f * (d * g)[..., None]
+    return f * (d * g)[None, :]
 
 
 def _aniso_alphas(mat):
@@ -187,12 +188,12 @@ def disney_microfacet_anisotropic(mat, n, wo, wi, tangent, bitangent):
     ax, ay = _aniso_alphas(mat)
     d = gtr_2_aniso(dot(n, w_h), jnp.abs(dot(w_h, tangent)),
                     jnp.abs(dot(w_h, bitangent)), ax, ay)
-    f = lerp(spec, jnp.ones_like(spec), schlick_weight(dot(wi, w_h))[..., None])
+    f = lerp(spec, jnp.ones_like(spec), schlick_weight(dot(wi, w_h))[None, :])
     g = (smith_shadowing_ggx_aniso(dot(n, wi), jnp.abs(dot(wi, tangent)),
                                    jnp.abs(dot(wi, bitangent)), ax, ay)
          * smith_shadowing_ggx_aniso(dot(n, wo), jnp.abs(dot(wo, tangent)),
                                      jnp.abs(dot(wo, bitangent)), ax, ay))
-    return f * (d * g)[..., None]
+    return f * (d * g)[None, :]
 
 
 def disney_microfacet_transmission_isotropic(mat, n, wo, wi):
@@ -202,7 +203,7 @@ def disney_microfacet_transmission_isotropic(mat, n, wo, wi):
     entering = o_dot_n > 0.0
     eta_o = jnp.where(entering, 1.0, mat.ior)
     eta_i = jnp.where(entering, mat.ior, 1.0)
-    w_h = normalize(wo + wi * (eta_i / eta_o)[..., None], eps=1e-20)
+    w_h = normalize(wo + wi * (eta_i / eta_o)[None, :], eps=1e-20)
 
     alpha = jnp.maximum(0.001, mat.roughness * mat.roughness)
     d = gtr_2(jnp.abs(dot(n, w_h)), alpha)
@@ -215,8 +216,8 @@ def disney_microfacet_transmission_isotropic(mat, n, wo, wi):
     c = (jnp.abs(o_dot_h) / jnp.maximum(jnp.abs(o_dot_n), 1e-20)
          * jnp.abs(i_dot_h) / jnp.maximum(jnp.abs(i_dot_n), 1e-20)
          * (eta_o * eta_o) / jnp.maximum(denom, 1e-20))
-    result = mat.base_color * (c * (1.0 - f) * g * d)[..., None]
-    return jnp.where(degenerate[..., None], 0.0, result)
+    result = mat.base_color * (c * (1.0 - f) * g * d)[None, :]
+    return jnp.where(degenerate[None, :], 0.0, result)
 
 
 def disney_eval(mat, n, wo, wi, tangent, bitangent):
@@ -228,16 +229,16 @@ def disney_eval(mat, n, wo, wi, tangent, bitangent):
     diffuse = disney_diffuse(mat, n, wo, wi)
     gloss_iso = disney_microfacet_isotropic(mat, n, wo, wi)
     gloss_aniso = disney_microfacet_anisotropic(mat, n, wo, wi, tangent, bitangent)
-    gloss = jnp.where((mat.anisotropy == 0.0)[..., None], gloss_iso, gloss_aniso)
+    gloss = where3(mat.anisotropy == 0.0, gloss_iso, gloss_aniso)
     refl = ((diffuse + sheen)
-            * ((1.0 - mat.metallic) * (1.0 - mat.specular_transmission))[..., None]
-            + gloss + coat[..., None])
+            * ((1.0 - mat.metallic) * (1.0 - mat.specular_transmission))[None, :]
+            + gloss + coat[None, :])
 
     spec_trans = disney_microfacet_transmission_isotropic(mat, n, wo, wi)
-    trans = spec_trans * ((1.0 - mat.metallic) * mat.specular_transmission)[..., None]
-    trans = jnp.where((mat.specular_transmission > 0.0)[..., None], trans, 0.0)
+    trans = spec_trans * ((1.0 - mat.metallic) * mat.specular_transmission)[None, :]
+    trans = where3(mat.specular_transmission > 0.0, trans, jnp.zeros_like(trans))
 
-    return jnp.where(same[..., None], refl, trans)
+    return where3(same, refl, trans)
 
 
 # ---------------------------------------------------------------------------
@@ -246,37 +247,38 @@ def disney_eval(mat, n, wo, wi, tangent, bitangent):
 
 def _frame_from_n(n):
     """up = |n.z| < 0.999 ? z : x; tangent = normalize(cross(up, n))."""
-    use_z = jnp.abs(n[..., 2]) < 0.999
-    up = jnp.where(use_z[..., None],
-                   jnp.array([0.0, 0.0, 1.0], n.dtype),
-                   jnp.array([1.0, 0.0, 0.0], n.dtype))
+    use_z = jnp.abs(n[2]) < 0.999
+    count = n.shape[1]
+    up = where3(use_z, splat([0.0, 0.0, 1.0], count).astype(n.dtype),
+                splat([1.0, 0.0, 0.0], count).astype(n.dtype))
     tangent = normalize(cross(up, n), eps=1e-20)
     bitangent = cross(n, tangent)
     return tangent, bitangent
+
+
+def _local_to_world(tangent, bitangent, n, hx, hy, hz):
+    return normalize(tangent * hx[None, :] + bitangent * hy[None, :]
+                     + n * hz[None, :], eps=1e-20)
 
 
 def sample_ggx(n, alpha, u1, u2):
     phi = TWO_PI * u1
     cos_theta = jnp.sqrt(jnp.maximum((1.0 - u2) / (1.0 + (alpha * alpha - 1.0) * u2), 0.0))
     sin_theta = 1.0 - cos_theta * cos_theta  # reference quirk (:227)
-    hx = sin_theta * jnp.cos(phi)
-    hy = sin_theta * jnp.sin(phi)
-    hz = cos_theta
     tangent, bitangent = _frame_from_n(n)
-    return normalize(tangent * hx[..., None] + bitangent * hy[..., None]
-                     + n * hz[..., None], eps=1e-20)
+    return _local_to_world(tangent, bitangent, n,
+                           sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
+                           cos_theta)
 
 
 def sample_cosine_hemisphere(n, u1, u2):
     phi = TWO_PI * u1
     cos_theta = jnp.sqrt(u2)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
-    hx = sin_theta * jnp.cos(phi)
-    hy = sin_theta * jnp.sin(phi)
-    hz = cos_theta
     tangent, bitangent = _frame_from_n(n)
-    return normalize(tangent * hx[..., None] + bitangent * hy[..., None]
-                     + n * hz[..., None], eps=1e-20)
+    return _local_to_world(tangent, bitangent, n,
+                           sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
+                           cos_theta)
 
 
 def sample_gtr_1_h(n, tangent, bitangent, alpha, u1, u2):
@@ -285,18 +287,16 @@ def sample_gtr_1_h(n, tangent, bitangent, alpha, u1, u2):
     cos2 = (1.0 - jnp.power(a2, 1.0 - u2)) / (1.0 - a2)
     cos_theta = jnp.sqrt(jnp.maximum(cos2, 0.0))
     sin_theta = 1.0 - cos2  # reference quirk (:266)
-    hx = sin_theta * jnp.cos(phi)
-    hy = sin_theta * jnp.sin(phi)
-    hz = cos_theta
-    return normalize(tangent * hx[..., None] + bitangent * hy[..., None]
-                     + n * hz[..., None], eps=1e-20)
+    return _local_to_world(tangent, bitangent, n,
+                           sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
+                           cos_theta)
 
 
 def sample_gtr_2_aniso_h(n, tangent, bitangent, alpha_x, alpha_y, u1, u2):
     x = TWO_PI * u1
     s = jnp.sqrt(jnp.maximum(u2 / jnp.maximum(1.0 - u2, 1e-12), 0.0))
-    w_h = (tangent * (alpha_x * jnp.cos(x) * s)[..., None]
-           + bitangent * (alpha_y * jnp.sin(x) * s)[..., None] + n)
+    w_h = (tangent * (alpha_x * jnp.cos(x) * s)[None, :]
+           + bitangent * (alpha_y * jnp.sin(x) * s)[None, :] + n)
     return normalize(w_h, eps=1e-20)
 
 
@@ -322,14 +322,11 @@ def gtr_2_aniso_pdf(wo, wi, n, tangent, bitangent, alpha_x, alpha_y):
 def build_tangent_space(normal):
     """NBVH ortho_basis used by the bounce sampler
     (cuda_renderer_neural.cu:174-190)."""
-    nx, ny = normal[..., 0], normal[..., 1]
+    nx, ny = normal[0], normal[1]
     use_x = (nx < 0.6) & (nx > -0.6)
     use_y = ~use_x & (ny < 0.6) & (ny > -0.6)
-    # else-z (and the final else-x is unreachable for unit normals).
     use_z = ~use_x & ~use_y
-    b = jnp.stack([use_x.astype(normal.dtype),
-                   use_y.astype(normal.dtype),
-                   use_z.astype(normal.dtype)], axis=-1)
+    b = jnp.stack([use_x, use_y, use_z], axis=0).astype(normal.dtype)
     tangent = normalize(cross(b, normal), eps=1e-20)
     bitangent = normalize(cross(normal, tangent), eps=1e-20)
     return tangent, bitangent
@@ -367,35 +364,29 @@ def disney_pdf_3component(mat, n, wo, wi, tangent, bitangent):
 def disney_sample_3component(mat, n, wo, tangent, bitangent, u1, u2, u3):
     """Uniform 3-way lobe pick (diffuse/specular/clearcoat) with mixture PDF.
 
-    Returns (wi [N,3], pdf [N]); pdf == 0 marks invalid samples (full
+    Returns (wi [3, N], pdf [N]); pdf == 0 marks invalid samples (full
     transmission materials or below-hemisphere specular reflections), exactly
     like the reference's early-outs (:408-411, :441-444, :452-456).
     """
     component = jnp.minimum((u3 * 3.0).astype(jnp.int32), 2)
 
-    # Diffuse candidate.
     wi_diffuse = sample_cosine_hemisphere(n, u1, u2)
 
-    # Specular candidate (iso or aniso half-vector).
     alpha = jnp.maximum(0.001, mat.roughness * mat.roughness)
     ax, ay = _aniso_alphas(mat)
     h_iso = sample_ggx(n, alpha, u1, u2)
     h_aniso = sample_gtr_2_aniso_h(n, tangent, bitangent, ax, ay, u1, u2)
-    w_h_spec = jnp.where((mat.anisotropy == 0.0)[..., None], h_iso, h_aniso)
+    w_h_spec = where3(mat.anisotropy == 0.0, h_iso, h_aniso)
     wi_specular = reflect(-wo, w_h_spec)
 
-    # Clearcoat candidate.
     cc_alpha = lerp(0.1, 0.001, mat.clearcoat_gloss)
     w_h_cc = sample_gtr_1_h(n, tangent, bitangent, cc_alpha, u1, u2)
     wi_clearcoat = reflect(-wo, w_h_cc)
 
-    wi = jnp.where((component == 0)[..., None], wi_diffuse,
-                   jnp.where((component == 1)[..., None], wi_specular,
-                             wi_clearcoat))
+    wi = where3(component == 0, wi_diffuse,
+                where3(component == 1, wi_specular, wi_clearcoat))
 
-    # Hemisphere validation for reflective lobes.
     valid = jnp.where(component == 0, True, same_hemisphere(wo, wi, n))
-    # Full-transmission early-out.
     valid &= mat.specular_transmission < 1.0
 
     pdf = disney_pdf_3component(mat, n, wo, wi, tangent, bitangent)
@@ -438,8 +429,8 @@ def disney_sample(mat, n, wo, u1, u2, u3):
     wi_d = sample_cosine_hemisphere(n, u1, u2)
     alpha = jnp.maximum(0.001, mat.roughness * mat.roughness)
     h = sample_ggx(n, alpha, u1, u2)
-    wi_s = normalize(-wo + h * (2.0 * dot(wo, h))[..., None], eps=1e-20)
-    wi = jnp.where(pick_diffuse[..., None], wi_d, wi_s)
+    wi_s = normalize(-wo + h * (2.0 * dot(wo, h))[None, :], eps=1e-20)
+    wi = where3(pick_diffuse, wi_d, wi_s)
 
     valid = pick_diffuse | (dot(wi, n) > 0.0)
 

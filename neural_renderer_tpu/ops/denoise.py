@@ -9,7 +9,9 @@ image.
 
 XLA-native formulation: the 121 taps are a static python loop of shifted
 whole-image multiply-adds over padded arrays — fused into one elementwise
-kernel, no gather/scatter.
+kernel, no gather/scatter. All buffers are channel-major [3, H, W] (the W
+axis rides the 128 lanes; ops/linalg.py layout note); the u8 [H, W, 3] image
+is produced only at the output boundary.
 """
 
 from __future__ import annotations
@@ -27,8 +29,8 @@ SIGMA_ALBEDO = 0.1
 
 
 def bilateral_denoise(accum, accum_count, guide_normals, guide_albedo):
-    """accum: [H, W, 3] linear HDR sums; accum_count: scalar; guides
-    [H, W, 3]. Returns denoised u8 image [H, W, 3]."""
+    """accum: [3, H, W] linear HDR sums; accum_count: scalar; guides
+    [3, H, W]. Returns denoised u8 image [H, W, 3]."""
     inv_accum = 1.0 / jnp.maximum(1.0, accum_count)
     color = accum * inv_accum
 
@@ -38,34 +40,36 @@ def bilateral_denoise(accum, accum_count, guide_normals, guide_albedo):
 
     # Zero-pad; padded taps get zero weight via a validity mask (matches the
     # reference's window clipping at image borders).
-    pad = ((r, r), (r, r), (0, 0))
+    pad = ((0, 0), (r, r), (r, r))
     color_p = jnp.pad(color, pad)
     normals_p = jnp.pad(guide_normals, pad)
     albedo_p = jnp.pad(guide_albedo, pad)
-    valid_p = jnp.pad(jnp.ones(color.shape[:2] + (1,), color.dtype), pad)
+    valid_p = jnp.pad(jnp.ones(color.shape[1:], color.dtype),
+                      ((r, r), (r, r)))
 
-    h, w = color.shape[:2]
+    h, w = color.shape[1:]
     weighted = jnp.zeros_like(color)
-    total_w = jnp.zeros(color.shape[:2] + (1,), color.dtype)
+    total_w = jnp.zeros(color.shape[1:], color.dtype)
 
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
-            sl = (slice(r + dy, r + dy + h), slice(r + dx, r + dx + w))
+            sl = (slice(None), slice(r + dy, r + dy + h),
+                  slice(r + dx, r + dx + w))
             n_color = color_p[sl]
             n_norm = normals_p[sl]
             n_alb = albedo_p[sl]
-            n_valid = valid_p[sl]
+            n_valid = valid_p[sl[1:]]
 
             w_spatial = math.exp(-(dx * dx + dy * dy) * inv_ss2)
-            ndot = jnp.clip(jnp.sum(guide_normals * n_norm, axis=-1,
-                                    keepdims=True), 0.0, 1.0)
+            ndot = jnp.clip(jnp.sum(guide_normals * n_norm, axis=0), 0.0, 1.0)
             w_normal = jnp.power(ndot, NORMAL_ALPHA)
             da = n_alb - guide_albedo
-            w_albedo = jnp.exp(-jnp.sum(da * da, axis=-1, keepdims=True) * inv_sa2)
+            w_albedo = jnp.exp(-jnp.sum(da * da, axis=0) * inv_sa2)
 
             wgt = w_spatial * w_normal * w_albedo * n_valid
-            weighted = weighted + n_color * wgt
+            weighted = weighted + n_color * wgt[None, :, :]
             total_w = total_w + wgt
 
-    out = jnp.where(total_w > 0.0, weighted / jnp.maximum(total_w, 1e-20), color)
-    return encode_srgb_u8(out)
+    out = jnp.where(total_w[None] > 0.0,
+                    weighted / jnp.maximum(total_w, 1e-20)[None], color)
+    return encode_srgb_u8(out).transpose(1, 2, 0)

@@ -5,37 +5,38 @@ firefly clamping, and the procedural sky fallback.
 /root/reference/src/cuda_renderer_neural.cu:115-202). Mapping matches NBVH:
 u = atan2(x, -z)/(2*pi) + 0.5, v = acos(y)/pi, bilinear with -0.5 texel offset
 and edge clamping, radiance hard-clamped at 100 before the per-call
-maxRadiance clamp.
+maxRadiance clamp. Directions/colors are channel-major [3, N]; texels gather
+from the [3, H*W] flat map.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .linalg import lerp
+from .linalg import lerp, splat
 
 _INV_PI = 0.3183098861837907
 _ENV_HARD_CLAMP = 100.0
 
 
 def sample_environment(env, dirs):
-    """env: EnvmapArrays; dirs: [N, 3] unit vectors. Returns [N, 3] radiance."""
+    """env: EnvmapArrays; dirs: [3, N] unit vectors. Returns [3, N]."""
+    n = dirs.shape[1]
     if not env.is_valid:
         # NBVH sky-like background (cuda_renderer_neural.cu:166-171).
-        sky_t = 0.5 * (dirs[:, 1] + 1.0)
-        bottom = jnp.array([1.0, 1.0, 1.0], jnp.float32)
-        top = jnp.array([0.5, 0.7, 1.0], jnp.float32)
-        return lerp(bottom[None, :], top[None, :], sky_t[:, None])
+        sky_t = 0.5 * (dirs[1] + 1.0)
+        return lerp(splat([1.0, 1.0, 1.0], n),
+                    splat([0.5, 0.7, 1.0], n), sky_t[None, :])
 
-    h, w = env.pixels.shape[:2]
+    h, w = env.height, env.width
 
     # Rotation around Y (degrees).
     angle = env.rotation * jnp.float32(jnp.pi / 180.0)
     cos_a = jnp.cos(angle)
     sin_a = jnp.sin(angle)
-    dx = dirs[:, 0] * cos_a + dirs[:, 2] * sin_a
-    dz = -dirs[:, 0] * sin_a + dirs[:, 2] * cos_a
-    dy = dirs[:, 1]
+    dx = dirs[0] * cos_a + dirs[2] * sin_a
+    dz = -dirs[0] * sin_a + dirs[2] * cos_a
+    dy = dirs[1]
 
     u = jnp.arctan2(dx, -dz) * (_INV_PI * 0.5) + 0.5
     v = jnp.arccos(jnp.clip(dy, -1.0, 1.0)) * _INV_PI
@@ -50,13 +51,11 @@ def sample_environment(env, dirs):
     y1 = jnp.clip(y0 + 1, 0, h - 1)
     x0c = jnp.clip(x0, 0, w - 1)
     y0c = jnp.clip(y0, 0, h - 1)
-    tx = (x - x0.astype(jnp.float32))[:, None]
-    ty = (y - y0.astype(jnp.float32))[:, None]
-
-    flat = env.pixels.reshape(-1, 3)
+    tx = (x - x0.astype(jnp.float32))[None, :]
+    ty = (y - y0.astype(jnp.float32))[None, :]
 
     def fetch(xi, yi):
-        return jnp.take(flat, yi * w + xi, axis=0)
+        return jnp.take(env.pixels, yi * w + xi, axis=1)  # [3, N]
 
     c00 = fetch(x0c, y0c)
     c10 = fetch(x1, y0c)

@@ -9,6 +9,9 @@ uniform control flow. Early-out pruning against the running best-t is kept
 (node AABBs are tested with t_max = best_t, exactly like the reference's
 `intersectAabb(..., bestPi.t, ...)`).
 
+Layout: vectors are channel-major [3, N] and every gather pulls dense [N]
+(or [3, N]) slices — see ops/linalg.py for why lane-padding rules this.
+
 Trade-off vs the CUDA version: we lose near-child-first ordering (the DFS
 order is fixed at build time), which costs extra node visits, but every
 iteration is dense vector work instead of divergent warp lanes. The loop runs
@@ -20,13 +23,12 @@ mesh_traversal.cuh:96-111) are compile-time branches.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from .intersect import intersect_aabb, intersect_triangle
+from .intersect import _fetch_triangle, intersect_aabb, intersect_triangle
 from .linalg import cross, dot
 
 # TraceMode (mesh_traversal.cuh:107-111)
@@ -61,13 +63,13 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
 
     Args:
       mesh: MeshArrays.
-      origins, dirs: [N, 3] f32.
+      origins, dirs: [3, N] f32 (channel-major).
       mode: ANY / FORWARD_ONLY / BACKWARD_ONLY (static).
       active: optional [N] bool — inactive rays skip traversal entirely
         (they start at node -1); the masked-lane replacement for CUDA
         stream compaction.
     """
-    n = origins.shape[0]
+    n = origins.shape[1]
     if mesh.is_empty:
         return _miss(n)
 
@@ -84,7 +86,7 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
 
     max_leaf = max(1, mesh.max_leaf)
     num_nodes = mesh.bvh_left.shape[0]
-    num_tris = mesh.indices.shape[0]
+    num_tris = mesh.indices.shape[1]
 
     def cond(state):
         node = state[0]
@@ -95,8 +97,8 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
         live = node >= 0
         nidx = jnp.clip(node, 0, num_nodes - 1)
 
-        bmin = jnp.take(mesh.bvh_bounds_min, nidx, axis=0)
-        bmax = jnp.take(mesh.bvh_bounds_max, nidx, axis=0)
+        bmin = jnp.take(mesh.bvh_bounds_min, nidx, axis=1)  # [3, N]
+        bmax = jnp.take(mesh.bvh_bounds_max, nidx, axis=1)
         box_hit, _ = intersect_aabb(origins, inv_dirs, bmin, bmax, best_t)
         box_hit &= live
 
@@ -108,13 +110,10 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
         for i in range(max_leaf):
             tri_idx = jnp.clip(first + i, 0, num_tris - 1)
             valid = process & (i < count)
-            idx = jnp.take(mesh.indices, tri_idx, axis=0)
-            v0 = jnp.take(mesh.vertices, idx[:, 0], axis=0)
-            v1 = jnp.take(mesh.vertices, idx[:, 1], axis=0)
-            v2 = jnp.take(mesh.vertices, idx[:, 2], axis=0)
+            v0, v1, v2, _ = _fetch_triangle(mesh, tri_idx)
 
             if mode != ANY:
-                tri_n = cross(v1 - v0, v2 - v0)  # unnormalized; sign is enough
+                tri_n = cross(v1 - v0, v2 - v0)  # unnormalized; sign suffices
                 facing = dot(tri_n, dirs)
                 if mode == FORWARD_ONLY:
                     valid &= facing < 0.0
@@ -146,29 +145,33 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
 
 
 def trace_mesh_brute(mesh, origins, dirs, mode: int = ANY) -> TraceResult:
-    """O(N*T) oracle: every ray against every triangle. Used by tests as the
-    ground truth for the BVH path (SURVEY.md §7 step 2/3)."""
-    n = origins.shape[0]
+    """O(N*T) oracle: every ray against every triangle (fori over triangles,
+    vectorized over rays). Ground truth for the BVH path (SURVEY.md §7)."""
+    n = origins.shape[1]
     if mesh.is_empty:
         return _miss(n)
-    idx = mesh.indices  # [T, 3]
-    v0 = jnp.take(mesh.vertices, idx[:, 0], axis=0)  # [T, 3]
-    v1 = jnp.take(mesh.vertices, idx[:, 1], axis=0)
-    v2 = jnp.take(mesh.vertices, idx[:, 2], axis=0)
+    num_tris = mesh.indices.shape[1]
 
-    def per_ray(o, d):
-        t, u, v, ok = intersect_triangle(o[None, :], d[None, :], v0, v1, v2)
+    def body(i, state):
+        best_t, best_tri, best_u, best_v = state
+        tri_idx = jnp.full((n,), i, jnp.int32)
+        v0, v1, v2, _ = _fetch_triangle(mesh, tri_idx)
+        t, u, v, ok = intersect_triangle(origins, dirs, v0, v1, v2)
         if mode != ANY:
             tri_n = cross(v1 - v0, v2 - v0)
-            facing = dot(tri_n, d[None, :])
+            facing = dot(tri_n, dirs)
             if mode == FORWARD_ONLY:
                 ok &= facing < 0.0
             else:
                 ok &= facing > 0.0
-        ok &= t > MIN_T
-        t = jnp.where(ok, t, 1e30)
-        best = jnp.argmin(t)
-        return t[best], best.astype(jnp.int32), u[best], v[best], t[best] < 1e30
+        better = ok & (t > MIN_T) & (t < best_t)
+        return (jnp.where(better, t, best_t),
+                jnp.where(better, tri_idx, best_tri),
+                jnp.where(better, u, best_u),
+                jnp.where(better, v, best_v))
 
-    t, tri, u, v, hit = jax.vmap(per_ray)(origins, dirs)
-    return TraceResult(t=t, tri=tri, u=u, v=v, hit=hit)
+    init = (jnp.full((n,), 1e30, jnp.float32), jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+    best_t, best_tri, best_u, best_v = jax.lax.fori_loop(0, num_tris, body, init)
+    return TraceResult(t=best_t, tri=best_tri, u=best_u, v=best_v,
+                       hit=best_t < 1e30)

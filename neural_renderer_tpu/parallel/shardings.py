@@ -47,8 +47,8 @@ def render_gt_frame_tiled(mesh_arrays, env, params, accum, mesh: Mesh,
                           axis: str = "dp"):
     """Ground-truth frame with pixel rows sharded across `axis`.
 
-    accum: [H*W, 3] (replicated or sharded — resharded as needed).
-    Returns (image_u8 [H, W, 3], new_accum [H*W, 3]) with the stripe
+    accum: [3, H*W] channel-major (replicated or sharded — resharded as
+    needed). Returns (image_u8 [H, W, 3], new_accum [3, H*W]) with the stripe
     all-gather inserted by XLA.
     """
     n_shards = mesh.shape[axis]
@@ -56,20 +56,20 @@ def render_gt_frame_tiled(mesh_arrays, env, params, accum, mesh: Mesh,
     assert h % n_shards == 0, f"height {h} not divisible by {n_shards} shards"
     rows_per = h // n_shards
 
-    accum_img = accum.reshape(h, w, 3)
+    accum_img = accum.reshape(3, h, w)
 
     @partial(jax.shard_map, mesh=mesh, check_vma=False,
-             in_specs=(P(), P(), P(), P(axis, None, None)),
-             out_specs=(P(axis, None, None), P(axis, None, None)))
+             in_specs=(P(), P(), P(), P(None, axis, None)),
+             out_specs=(P(axis, None, None), P(None, axis, None)))
     def shard_fn(mesh_a, env_a, params_a, accum_shard):
         row0 = jax.lax.axis_index(axis) * rows_per
         img, acc = pathtrace.render_gt_frame(
-            mesh_a, env_a, params_a, accum_shard.reshape(-1, 3),
+            mesh_a, env_a, params_a, accum_shard.reshape(3, -1),
             row0=row0, n_rows=rows_per)
-        return img, acc.reshape(rows_per, w, 3)
+        return img, acc.reshape(3, rows_per, w)
 
     img, acc = shard_fn(mesh_arrays, env, params, accum_img)
-    return img, acc.reshape(-1, 3)
+    return img, acc.reshape(3, -1)
 
 
 def psnr_tiled(ref_u8, test_u8, mesh: Mesh, axis: str = "dp"):
@@ -137,8 +137,9 @@ def shard_train_state(state, mesh: Mesh):
 
 
 def dp_shard_batch(batch, mesh: Mesh, axis: str = "dp"):
-    """Shard a SegmentBatch's leading (batch) axis across `axis`."""
+    """Shard a SegmentBatch's batch axis across `axis` (channel-major
+    layout: the batch axis is the LAST axis of 2D leaves)."""
     def place(x):
-        spec = P(axis) if x.ndim == 1 else P(axis, *([None] * (x.ndim - 1)))
+        spec = P(axis) if x.ndim == 1 else P(*([None] * (x.ndim - 1)), axis)
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(place, batch)

@@ -9,6 +9,8 @@ zero host syncs, at most kMaxSegmentIterations (=10) trips, and the loop exits
 early once every ray has resolved. The network runs on the full (masked) ray
 batch per iteration; XLA keeps everything fused in one program.
 
+All vector state is channel-major [3, N] (ops/linalg.py layout note).
+
 Stages inside one iteration (reference kernels in parens):
   1. segment exits: outer BACKWARD_ONLY + inner ANY  (traceSegmentExitsKernel)
   2. normalized inputs [entry|exit|mid|dir01]        (buildSegmentNeuralInputs)
@@ -20,15 +22,14 @@ Stages inside one iteration (reference kernels in parens):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from ..models import nbvh
 from ..ops import traversal
-from ..ops.linalg import safe_normalize
-from ..scene.materials import P_BASE_B, P_BASE_R, P_METALLIC, P_ROUGHNESS, P_SPECULAR
+from ..ops.linalg import safe_normalize, splat, vec3, where3
+from ..scene.materials import P_METALLIC, P_ROUGHNESS, P_SPECULAR
 from .pathtrace import HitState
 
 MAX_SEGMENT_ITERATIONS = 10   # cuda_renderer_neural.cu:714
@@ -49,10 +50,10 @@ class NeuralContext:
 def _shell_entry_camera(outer, origins, dirs):
     """traceOuterShellEntryKernel (:720-767)."""
     res = traversal.trace_mesh(outer, origins, dirs, traversal.FORWARD_ONLY)
-    entry_pos = origins + dirs * res.t[:, None]
+    entry_pos = origins + dirs * res.t[None, :]
     active = res.hit
     accum_t = jnp.where(active, res.t, 0.0)
-    entry_pos = jnp.where(active[:, None], entry_pos, 0.0)
+    entry_pos = where3(active, entry_pos, jnp.zeros_like(entry_pos))
     return entry_pos, active, accum_t
 
 
@@ -67,18 +68,18 @@ def _shell_entry_from_rays(outer, origins, dirs, ray_active, pdfs):
                                     traversal.BACKWARD_ONLY, active=need_restart)
     base_offset = jnp.where(need_restart & res_back.hit,
                             res_back.t + SEGMENT_EPSILON, 0.0)
-    shifted_origin = origins + dirs * base_offset[:, None]
+    shifted_origin = origins + dirs * base_offset[None, :]
     res_retry = traversal.trace_mesh(outer, shifted_origin, dirs,
                                      traversal.FORWARD_ONLY,
                                      active=need_restart & res_back.hit)
 
     hit = ok & (res_fwd.hit | res_retry.hit)
     entry_t = jnp.where(res_fwd.hit, res_fwd.t, res_retry.t)
-    entry_origin = jnp.where(res_fwd.hit[:, None], origins, shifted_origin)
-    entry_pos = entry_origin + dirs * entry_t[:, None]
+    entry_origin = where3(res_fwd.hit, origins, shifted_origin)
+    entry_pos = entry_origin + dirs * entry_t[None, :]
     total_t = jnp.where(res_fwd.hit, entry_t, base_offset + entry_t)
 
-    entry_pos = jnp.where(hit[:, None], entry_pos, 0.0)
+    entry_pos = where3(hit, entry_pos, jnp.zeros_like(entry_pos))
     accum_t = jnp.where(hit, total_t, 0.0)
     return entry_pos, hit, accum_t
 
@@ -93,7 +94,7 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
     outer-shell normalization bounds). `ray_active`/`pdfs` gate bounce rays
     like the reference's rayActiveMask/rayPdfs.
     """
-    n = origins.shape[0]
+    n = origins.shape[1]
 
     if camera_rays:
         entry_pos, active, accum_t = _shell_entry_camera(ctx.outer, origins, dirs)
@@ -103,16 +104,20 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         entry_pos, active, accum_t = _shell_entry_from_rays(
             ctx.outer, origins, dirs, ray_active, pdfs)
 
-    zero3 = jnp.zeros((n, 3), jnp.float32)
+    zero3 = jnp.zeros((3, n), jnp.float32)
     out_hit = HitState(
         position=zero3, normal=zero3, albedo=zero3,
-        material_params=jnp.zeros((n, 3), jnp.float32),
+        material_params=zero3,
         hit=jnp.zeros(n, bool), distance=jnp.zeros(n, jnp.float32))
 
-    mat_params_row = jnp.stack([
+    mat_params_row = vec3(
         jnp.broadcast_to(params.material_row[P_METALLIC], (n,)),
         jnp.broadcast_to(params.material_row[P_ROUGHNESS], (n,)),
-        jnp.broadcast_to(params.material_row[P_SPECULAR], (n,))], axis=-1)
+        jnp.broadcast_to(params.material_row[P_SPECULAR], (n,)))
+
+    outer_min = params.outer_shell_min[:, None]
+    inv_extent = params.outer_shell_inv_extent[:, None]
+    const_color = splat(params.constant_neural_color, n)
 
     def cond(state):
         it, active, *_ = state
@@ -132,25 +137,26 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         inner_t = jnp.where(inner_hit, res_inner.t, 1e30)
         inner_before = inner_hit & (inner_t < exit_t)
         seg_t = jnp.where(inner_before, inner_t, exit_t)
-        exit_pos = shifted_entry + dirs * seg_t[:, None]
+        exit_pos = shifted_entry + dirs * seg_t[None, :]
 
         # 2. Network inputs (buildSegmentNeuralInputsKernel :937-1001).
-        norm_entry = (shifted_entry - params.outer_shell_min) * params.outer_shell_inv_extent
-        norm_exit = (exit_pos - params.outer_shell_min) * params.outer_shell_inv_extent
+        norm_entry = (shifted_entry - outer_min) * inv_extent
+        norm_exit = (exit_pos - outer_min) * inv_extent
         mid = 0.5 * (shifted_entry + exit_pos)
-        norm_mid = (mid - params.outer_shell_min) * params.outer_shell_inv_extent
+        norm_mid = (mid - outer_min) * inv_extent
         dir01 = (dirs + 1.0) * 0.5
-        net_in = jnp.concatenate([norm_entry, norm_exit, norm_mid, dir01], axis=-1)
+        net_in = jnp.concatenate([norm_entry, norm_exit, norm_mid, dir01],
+                                 axis=0)  # [12, N]
 
         # 3. Fused encode + MLP (tcnn inference, :2025-2032).
         outputs = nbvh.apply(ctx.net_params, net_in, ctx.config,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype)  # [16, N]
 
         # 4. Apply outputs (applySegmentNeuralOutputKernel :1007-1123).
-        presence = outputs[:, 0]
-        distance = outputs[:, 1]
-        normal_raw = outputs[:, 2:5]
-        color_raw = jnp.clip(outputs[:, 5:8], 0.0, 1.0)
+        presence = outputs[0]
+        distance = outputs[1]
+        normal_raw = outputs[2:5]
+        color_raw = jnp.clip(outputs[5:8], 0.0, 1.0)
 
         neural_hit = presence >= 0.0
         found = active & (neural_hit | inner_before)
@@ -158,22 +164,20 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         clamped = jnp.where(inner_t > 0.0,
                             jnp.minimum(distance, inner_t - SEGMENT_EPSILON),
                             distance)
-        hit_pos = shifted_entry + dirs * clamped[:, None]
+        hit_pos = shifted_entry + dirs * clamped[None, :]
         normal = safe_normalize(normal_raw, min_len=1e-6)
 
         # outputStride >= 8 is always true (padded width 16), so the
         # reference's material-base-color fallback branch is unreachable:
         # constant color when requested, else the network's color slots.
-        color = jnp.where(params.use_constant_neural_color,
-                          jnp.broadcast_to(params.constant_neural_color[None, :], (n, 3)),
+        color = jnp.where(params.use_constant_neural_color, const_color,
                           color_raw)
 
-        f = found[:, None]
         out = HitState(
-            position=jnp.where(f, hit_pos, out.position),
-            normal=jnp.where(f, normal, out.normal),
-            albedo=jnp.where(f, color, out.albedo),
-            material_params=jnp.where(f, mat_params_row, out.material_params),
+            position=where3(found, hit_pos, out.position),
+            normal=where3(found, normal, out.normal),
+            albedo=where3(found, color, out.albedo),
+            material_params=where3(found, mat_params_row, out.material_params),
             hit=out.hit | found,
             distance=jnp.where(found, distance, out.distance),
         )
@@ -185,8 +189,8 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
                                       traversal.FORWARD_ONLY, active=active)
         can_continue = active & (res_re.hit | inner_hit)
         reentry_t = jnp.where(res_re.hit, res_re.t, 0.0)
-        new_entry = shifted_exit + dirs * reentry_t[:, None]
-        entry_pos = jnp.where(can_continue[:, None], new_entry, entry_pos)
+        new_entry = shifted_exit + dirs * reentry_t[None, :]
+        entry_pos = where3(can_continue, new_entry, entry_pos)
         accum_t = jnp.where(can_continue,
                             accum_t + exit_t + reentry_t + 2.0 * SEGMENT_EPSILON,
                             accum_t)

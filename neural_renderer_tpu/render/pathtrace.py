@@ -6,6 +6,10 @@ kernel-launch boundaries, no host syncs, XLA fuses the elementwise stages into
 the traces. The sample layout matches the reference:
 sample_idx = pixel_idx + s * pixel_count (so RNG streams are identical).
 
+All vector state is channel-major [3, N] (ops/linalg.py layout note); the
+accumulation buffer is [3, P] and the u8 image is assembled [H, W, 3] only at
+the output boundary.
+
 Kernels covered here:
   intersectGroundTruthKernel       -> trace_primary_gt
   initializePathStateKernel        -> init_path_state
@@ -30,33 +34,33 @@ from ..ops.brdf import BrdfMaterial, build_tangent_space, disney_eval, \
 from ..ops.camera import generate_primary_rays
 from ..ops.envlight import sample_environment, sample_environment_clamped
 from ..ops.intersect import compute_hit_data, resolve_material
-from ..ops.linalg import dot, safe_normalize
+from ..ops.linalg import dot, safe_normalize, splat, vec3, where3
 from ..ops.rng import init_rng, rand01
 from ..ops.srgb import encode_srgb_u8
-from ..scene.materials import P_BASE_B, P_BASE_R, P_METALLIC, P_ROUGHNESS, P_SPECULAR
+from ..scene.materials import P_METALLIC, P_ROUGHNESS, P_SPECULAR
 
 
 class HitState(NamedTuple):
     """Per-sample hit buffers (positions/normals/colors/params/flags/dist)."""
-    position: jnp.ndarray        # [N, 3]
-    normal: jnp.ndarray          # [N, 3]
-    albedo: jnp.ndarray          # [N, 3]
-    material_params: jnp.ndarray  # [N, 3] (metallic, roughness, specular)
+    position: jnp.ndarray        # [3, N]
+    normal: jnp.ndarray          # [3, N]
+    albedo: jnp.ndarray          # [3, N]
+    material_params: jnp.ndarray  # [3, N] rows: metallic, roughness, specular
     hit: jnp.ndarray             # [N] bool
     distance: jnp.ndarray        # [N] — hit t (neural: predicted distance)
 
 
 class PathState(NamedTuple):
-    throughput: jnp.ndarray  # [N, 3]
-    radiance: jnp.ndarray    # [N, 3]
+    throughput: jnp.ndarray  # [3, N]
+    radiance: jnp.ndarray    # [3, N]
     active: jnp.ndarray      # [N] bool
 
 
 class BounceRays(NamedTuple):
-    origin: jnp.ndarray      # [N, 3]
-    direction: jnp.ndarray   # [N, 3]
+    origin: jnp.ndarray      # [3, N]
+    direction: jnp.ndarray   # [3, N]
     pdf: jnp.ndarray         # [N]
-    brdf_weight: jnp.ndarray  # [N, 3] — f * cos / pdf
+    brdf_weight: jnp.ndarray  # [3, N] — f * cos / pdf
     distance: jnp.ndarray    # [N] — passthrough neural distance
 
 
@@ -99,19 +103,18 @@ def _resolve_hits(mesh, params, origins, dirs, res) -> HitState:
     hd = compute_hit_data(mesh, origins, dirs, res.tri, res.u, res.v, res.t)
     rm = resolve_material(mesh, hd.material_id, hd.uv, params.material_row)
     hit = res.hit
-    hitf = hit[:, None]
-    zero3 = jnp.zeros_like(hd.position)
-    global_params = jnp.stack([
-        jnp.broadcast_to(params.material_row[P_METALLIC], hit.shape),
-        jnp.broadcast_to(params.material_row[P_ROUGHNESS], hit.shape),
-        jnp.broadcast_to(params.material_row[P_SPECULAR], hit.shape)], axis=-1)
+    n = hit.shape[0]
+    zero3 = jnp.zeros((3, n), jnp.float32)
+    global_params = vec3(
+        jnp.broadcast_to(params.material_row[P_METALLIC], (n,)),
+        jnp.broadcast_to(params.material_row[P_ROUGHNESS], (n,)),
+        jnp.broadcast_to(params.material_row[P_SPECULAR], (n,)))
+    hit_params = vec3(rm.metallic, rm.roughness, rm.specular)
     return HitState(
-        position=jnp.where(hitf, hd.position, zero3),
-        normal=jnp.where(hitf, hd.shading_normal, zero3),
-        albedo=jnp.where(hitf, rm.base_color, zero3),
-        material_params=jnp.where(
-            hitf, jnp.stack([rm.metallic, rm.roughness, rm.specular], axis=-1),
-            global_params),
+        position=where3(hit, hd.position, zero3),
+        normal=where3(hit, hd.shading_normal, zero3),
+        albedo=where3(hit, rm.base_color, zero3),
+        material_params=where3(hit, hit_params, global_params),
         hit=hit,
         distance=jnp.where(hit, res.t, 0.0),
     )
@@ -133,25 +136,25 @@ def trace_rays_mesh(mesh, params, origins, dirs, mode, active=None) -> HitState:
 def init_path_state(params, env, hits: HitState, prim_dirs) -> PathState:
     """initializePathStateKernel (cuda_renderer_neural.cu:303-354)."""
     n = hits.hit.shape[0]
-    env_light = jnp.where(
-        params.use_direct_env_color,
-        jnp.broadcast_to(params.direct_env_color[None, :], (n, 3)),
+    env_light = where3(
+        jnp.broadcast_to(params.use_direct_env_color, (n,)),
+        splat(params.direct_env_color, n),
         sample_environment_clamped(env, prim_dirs, params.max_radiance))
-    radiance = jnp.where(hits.hit[:, None], 0.0, env_light)
-    throughput = jnp.ones((n, 3), jnp.float32)
+    radiance = where3(hits.hit, jnp.zeros((3, n), jnp.float32), env_light)
+    throughput = jnp.ones((3, n), jnp.float32)
     return PathState(throughput=throughput, radiance=radiance, active=hits.hit)
 
 
 def _surface_material(params, albedo, material_params) -> BrdfMaterial:
     """Global material with per-hit base_color/metal/rough/spec overrides
     (cuda_renderer_neural.cu:441-446)."""
-    n = albedo.shape[0]
+    n = albedo.shape[1]
     mat = BrdfMaterial.broadcast_from_row(params.material_row, n)
     return mat._replace(
         base_color=albedo,
-        metallic=material_params[:, 0],
-        roughness=material_params[:, 1],
-        specular=material_params[:, 2],
+        metallic=material_params[0],
+        roughness=material_params[1],
+        specular=material_params[2],
     )
 
 
@@ -180,7 +183,7 @@ def sample_bounce_directions(params, pixel_idx, sample_of, hits: HitState,
 
     normal = safe_normalize(hits.normal, min_len=0.0)
     # Flip normal toward the viewer (NBVH shading_frame).
-    normal = jnp.where((dot(normal, incoming) > 0.0)[:, None], -normal, normal)
+    normal = where3(dot(normal, incoming) > 0.0, -normal, normal)
 
     wo = -incoming
     tangent, bitangent = build_tangent_space(normal)
@@ -193,9 +196,9 @@ def sample_bounce_directions(params, pixel_idx, sample_of, hits: HitState,
                                        u1, u2, u3)
     f = disney_eval(mat, normal, wo, wi, tangent, bitangent)
     cos_theta = jnp.abs(dot(normal, wi))
-    brdf_weight = f * (cos_theta / jnp.where(pdf > 0.0, pdf, 1.0))[:, None]
+    brdf_weight = f * (cos_theta / jnp.where(pdf > 0.0, pdf, 1.0))[None, :]
 
-    finite = jnp.all(jnp.isfinite(brdf_weight), axis=-1)
+    finite = jnp.all(jnp.isfinite(brdf_weight), axis=0)
     valid = hits.hit & path_active & (pdf > 0.0) & finite
 
     ray_offset = params.scene_scale * 1e-6
@@ -203,10 +206,10 @@ def sample_bounce_directions(params, pixel_idx, sample_of, hits: HitState,
 
     zero3 = jnp.zeros_like(origin)
     return BounceRays(
-        origin=jnp.where(valid[:, None], origin, zero3),
-        direction=jnp.where(valid[:, None], wi, zero3),
+        origin=where3(valid, origin, zero3),
+        direction=where3(valid, wi, zero3),
         pdf=jnp.where(valid, pdf, 0.0),
-        brdf_weight=jnp.where(valid[:, None], brdf_weight, zero3),
+        brdf_weight=where3(valid, brdf_weight, zero3),
         distance=hits.distance,
     )
 
@@ -237,90 +240,91 @@ def integrate_bounce(params, env, path: PathState, bounce_hits: HitState,
     # Miss -> environment + terminate.
     env_light = sample_environment_clamped(env, rays.direction, params.max_radiance)
     missed = active & ~bounce_hits.hit
-    radiance = jnp.where(missed[:, None],
-                         path.radiance + new_tp * env_light, path.radiance)
+    radiance = where3(missed, path.radiance + new_tp * env_light, path.radiance)
 
     # Max bounce cut.
     hit_cont = active & bounce_hits.hit
     if bounce_index >= params.max_bounces:
         still = jnp.zeros_like(active)
-        tp = jnp.where(active[:, None], new_tp, path.throughput)
+        tp = where3(active, new_tp, path.throughput)
         return PathState(throughput=tp, radiance=radiance, active=still)
 
     # Russian roulette, every bounce, p = max throughput component clamped to 1.
-    survival = jnp.minimum(1.0, jnp.max(new_tp, axis=-1))
+    survival = jnp.minimum(1.0, jnp.max(new_tp, axis=0))
     rr_state = init_rng(pixel_idx.astype(jnp.uint32),
                         params.sample_offset + jnp.uint32(bounce_index),
                         sample_of.astype(jnp.uint32))
     _, rr = rand01(rr_state)
     survive = rr < survival
     still = hit_cont & survive
-    tp_rr = new_tp / jnp.maximum(survival, 1e-20)[:, None]
-    tp = jnp.where(still[:, None], tp_rr,
-                   jnp.where(active[:, None], new_tp, path.throughput))
+    tp_rr = new_tp / jnp.maximum(survival, 1e-20)[None, :]
+    tp = where3(still, tp_rr, where3(active, new_tp, path.throughput))
     return PathState(throughput=tp, radiance=radiance, active=still)
 
 
 def finalize(params, path_radiance, accum):
     """finalizePathTracingKernel (cuda_renderer_neural.cu:678-709):
     per-pixel sum over spp -> accum add -> normalize -> sRGB u8.
-    Returns (image_u8 [rows, W, 3], new_accum [rows*W, 3]); rows is inferred
-    so the same code serves full frames and shard stripes."""
-    p = path_radiance.shape[0] // params.samples_per_pixel
-    per_pixel = path_radiance.reshape(params.samples_per_pixel, p, 3).sum(axis=0)
+    path_radiance: [3, N]; accum: [3, rows*W]. Returns
+    (image_u8 [rows, W, 3], new_accum [3, rows*W]); rows inferred so the same
+    code serves full frames and shard stripes."""
+    p = path_radiance.shape[1] // params.samples_per_pixel
+    per_pixel = path_radiance.reshape(3, params.samples_per_pixel, p).sum(axis=1)
     new_accum = accum + per_pixel
     inv = 1.0 / (params.sample_offset.astype(jnp.float32)
                  + jnp.float32(params.samples_per_pixel))
     color = new_accum * inv
-    img = encode_srgb_u8(color).reshape(p // params.width, params.width, 3)
-    return img, new_accum
+    img = encode_srgb_u8(color).reshape(3, p // params.width, params.width)
+    return img.transpose(1, 2, 0), new_accum
 
 
 def lambert_shade(params, env, hits: HitState, prim_dirs):
     """lambertKernel (cuda_renderer_neural.cu:1547-1607): N·V shading,
-    raw environment on miss, average over spp. Returns image u8."""
+    raw environment on miss, average over spp. Returns image u8 [rows, W, 3]."""
     normal = safe_normalize(hits.normal, min_len=0.0)
     flip = dot(normal, prim_dirs) > 0.0
-    normal = jnp.where(flip[:, None], -normal, normal)
+    normal = where3(flip, -normal, normal)
     ndotl = jnp.maximum(0.0, dot(normal, -prim_dirs))
-    lit = hits.albedo * ndotl[:, None]
+    lit = hits.albedo * ndotl[None, :]
     env_color = sample_environment(env, prim_dirs)
-    color = jnp.where(hits.hit[:, None], lit, env_color)
-    p = color.shape[0] // params.samples_per_pixel
-    avg = color.reshape(params.samples_per_pixel, p, 3).mean(axis=0)
-    return encode_srgb_u8(avg).reshape(p // params.width, params.width, 3)
+    color = where3(hits.hit, lit, env_color)
+    p = color.shape[1] // params.samples_per_pixel
+    avg = color.reshape(3, params.samples_per_pixel, p).mean(axis=1)
+    img = encode_srgb_u8(avg).reshape(3, p // params.width, params.width)
+    return img.transpose(1, 2, 0)
 
 
 def select_closest_hits(params, a: HitState, b: HitState, ray_origins) -> HitState:
     """selectClosest[Primary]HitKernel (cuda_renderer_neural.cu:1307-1450):
     merge two hit sets by distance from the ray origin."""
-    dist_a = jnp.linalg.norm(a.position - ray_origins, axis=-1)
-    dist_b = jnp.linalg.norm(b.position - ray_origins, axis=-1)
+    da = a.position - ray_origins
+    db = b.position - ray_origins
+    dist_a = jnp.sqrt(jnp.maximum(dot(da, da), 0.0))
+    dist_b = jnp.sqrt(jnp.maximum(dot(db, db), 0.0))
     use_b = (b.hit & ~a.hit) | (a.hit & b.hit & (dist_b < dist_a))
-    ub = use_b[:, None]
     return HitState(
-        position=jnp.where(ub, b.position, a.position),
-        normal=jnp.where(ub, b.normal, a.normal),
-        albedo=jnp.where(ub, b.albedo, a.albedo),
-        material_params=jnp.where(ub, b.material_params, a.material_params),
+        position=where3(use_b, b.position, a.position),
+        normal=where3(use_b, b.normal, a.normal),
+        albedo=where3(use_b, b.albedo, a.albedo),
+        material_params=where3(use_b, b.material_params, a.material_params),
         hit=a.hit | b.hit,
         distance=jnp.where(use_b, dist_b, a.distance),
     )
 
 
+def guide_buffers(params, hits: HitState, n_rows=None):
+    """Sample-0 primary-hit normals/albedo as [3, rows, W] — the denoiser
+    guides (denoiser.cuh:43-45)."""
+    rows = n_rows if n_rows is not None else params.height
+    p = rows * params.width
+    normals = hits.normal[:, :p].reshape(3, rows, params.width)
+    albedo = hits.albedo[:, :p].reshape(3, rows, params.width)
+    return normals, albedo
+
+
 # ---------------------------------------------------------------------------
 # Full GT frame (render() GT branch, cuda_renderer_neural.cu:2546-2733)
 # ---------------------------------------------------------------------------
-
-def guide_buffers(params, hits: HitState, n_rows=None):
-    """Sample-0 primary-hit normals/albedo reshaped to [rows, W, 3] — the
-    denoiser guides (denoiser.cuh:43-45)."""
-    rows = n_rows if n_rows is not None else params.height
-    p = rows * params.width
-    normals = hits.normal[:p].reshape(rows, params.width, 3)
-    albedo = hits.albedo[:p].reshape(rows, params.width, 3)
-    return normals, albedo
-
 
 def render_gt_frame(mesh, env, params, accum, row0=0, n_rows=None,
                     return_guides: bool = False):
@@ -329,7 +333,7 @@ def render_gt_frame(mesh, env, params, accum, row0=0, n_rows=None,
     Returns (image_u8, new_accum)[, (guide_normals, guide_albedo)]. Must be
     called with sample_offset advanced by samples_per_pixel between calls
     (evaluate.cu:253-264 semantics). row0/n_rows render a horizontal stripe
-    (tile data parallelism); accum must then cover just that stripe.
+    (tile data parallelism); accum [3, rows*W] covers just that stripe.
     """
     pixel_idx, sample_of, _, origins, dirs = primary_rays(params, row0, n_rows)
     hits = trace_primary_gt(mesh, params, origins, dirs)

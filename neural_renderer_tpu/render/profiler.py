@@ -67,13 +67,20 @@ class KernelTimings:
         return "\n".join(lines)
 
 
+def _sync(out):
+    """Scalar-readback barrier (block_until_ready is unreliable on the
+    remote 'axon' platform; a bulk transfer would time the tunnel)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def _timed(fn, *args, runs=2):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(runs):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return out, (time.perf_counter() - t0) / runs * 1e3
 
 
@@ -82,7 +89,7 @@ def profile_gt_frame(mesh, env, params, accum=None, runs=2) -> KernelTimings:
     t = KernelTimings()
     t.ray_count = params.pixel_count * params.samples_per_pixel
     if accum is None:
-        accum = jnp.zeros((params.pixel_count, 3), jnp.float32)
+        accum = jnp.zeros((3, params.pixel_count), jnp.float32)
 
     prim = jax.jit(lambda p: pt.primary_rays(p))
     (pixel_idx, sample_of, _, origins, dirs), _ = _timed(prim, params, runs=runs)
@@ -141,7 +148,7 @@ def profile_neural_frame(ctx, additional_mesh, env, params, accum=None,
     n = params.pixel_count * params.samples_per_pixel
     t.ray_count = n
     if accum is None:
-        accum = jnp.zeros((params.pixel_count, 3), jnp.float32)
+        accum = jnp.zeros((3, params.pixel_count), jnp.float32)
 
     prim = jax.jit(lambda p: pt.primary_rays(p))
     (pixel_idx, sample_of, _, origins, dirs), _ = _timed(prim, params, runs=runs)
@@ -153,7 +160,7 @@ def profile_neural_frame(ctx, additional_mesh, env, params, accum=None,
 
     # Standalone network forward at the full ray batch == one march iteration
     # worth of MLP work.
-    net_in = jnp.zeros((n, ctx.config.input_dims), jnp.float32)
+    net_in = jnp.zeros((ctx.config.input_dims, n), jnp.float32)
     fwd = jax.jit(lambda p, x: nbvh.apply(p, x, ctx.config,
                                           compute_dtype=compute_dtype))
     _, ms = _timed(fwd, ctx.net_params, net_in, runs=runs)

@@ -236,7 +236,7 @@ class Renderer:
         params = self._build_params(cam_pos)
         env = self._env_arrays()
         if self._accum is None:
-            self._accum = jnp.zeros((self.width * self.height, 3), jnp.float32)
+            self._accum = jnp.zeros((3, self.width * self.height), jnp.float32)
 
         t0 = time.perf_counter()
         neural_ready = (self.use_neural_query
@@ -280,7 +280,7 @@ class Renderer:
         if self.denoise and not self.lambert_view and self._guides is not None:
             normals, albedo = self._guides
             img = self._jit_denoise(
-                self._accum.reshape(self.height, self.width, 3),
+                self._accum.reshape(3, self.height, self.width),
                 jnp.float32(self._accum_sample_count), normals, albedo)
         img = np.asarray(jax.block_until_ready(img))
         self.last_frame_seconds = time.perf_counter() - t0

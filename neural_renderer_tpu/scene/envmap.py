@@ -137,10 +137,15 @@ def _load_ldr(path: str) -> np.ndarray:
 @jax.tree_util.register_dataclass
 @dataclass
 class EnvmapArrays:
-    """Device view of the environment (EnvironmentDeviceView, scene.h:10-16)."""
-    pixels: jnp.ndarray   # [H, W, 3] f32 (1x1 zeros when invalid)
+    """Device view of the environment (EnvironmentDeviceView, scene.h:10-16).
+
+    Pixels are channel-major [3, H*W] so bilinear fetches gather dense [N]
+    rows (see ops/linalg.py layout note); width/height are static."""
+    pixels: jnp.ndarray   # [3, H*W] f32 (zeros when invalid)
     rotation: jnp.ndarray  # scalar f32, degrees around Y
     strength: jnp.ndarray  # scalar f32
+    width: int = field(metadata=dict(static=True), default=1)
+    height: int = field(metadata=dict(static=True), default=1)
     is_valid: bool = field(metadata=dict(static=True), default=False)
 
 
@@ -179,12 +184,16 @@ class EnvironmentMap:
 
     def to_arrays(self) -> EnvmapArrays:
         if self.is_valid:
-            pix = jnp.asarray(self.pixels, jnp.float32)
+            h, w = self.pixels.shape[:2]
+            pix = jnp.asarray(self.pixels.reshape(-1, 3).T, jnp.float32)
         else:
-            pix = jnp.zeros((1, 1, 3), jnp.float32)
+            h, w = 1, 1
+            pix = jnp.zeros((3, 1), jnp.float32)
         return EnvmapArrays(
             pixels=pix,
             rotation=jnp.float32(self.rotation),
             strength=jnp.float32(self.strength),
+            width=w,
+            height=h,
             is_valid=self.is_valid,
         )

@@ -27,18 +27,22 @@ from .materials import Material, MaterialTable
 class MeshArrays:
     """Device-side mesh: geometry + BVH + material tables as flat arrays.
 
+    All per-element arrays are CHANNEL-MAJOR ([3, V] not [V, 3]): TPU tiling
+    pads the minor dimension to 128 lanes, so the big element axis must be
+    minor (see ops/linalg.py). Gathers then produce dense [3, N] results.
+
     The static metadata (flags, counts) is jit-compile-time constant so XLA
     specializes each mesh's trace code; the arrays live in HBM.
     """
     # Geometry
-    vertices: jnp.ndarray      # [V, 3] f32
-    normals: jnp.ndarray       # [V, 3] f32 (zeros when has_normals=False)
-    uvs: jnp.ndarray           # [V, 2] f32 (zeros when has_uvs=False)
-    indices: jnp.ndarray       # [T, 3] i32
+    vertices: jnp.ndarray      # [3, V] f32
+    normals: jnp.ndarray       # [3, V] f32 (zeros when has_normals=False)
+    uvs: jnp.ndarray           # [2, V] f32 (zeros when has_uvs=False)
+    indices: jnp.ndarray       # [3, T] i32
     tri_material: jnp.ndarray  # [T] i32, -1 = use global material
     # BVH (flat binary nodes, reference BvhNode layout, bvh_data.h:5-13)
-    bvh_bounds_min: jnp.ndarray  # [N, 3] f32
-    bvh_bounds_max: jnp.ndarray  # [N, 3] f32
+    bvh_bounds_min: jnp.ndarray  # [3, N] f32
+    bvh_bounds_max: jnp.ndarray  # [3, N] f32
     bvh_left: jnp.ndarray        # [N] i32
     bvh_right: jnp.ndarray       # [N] i32
     bvh_first: jnp.ndarray       # [N] i32
@@ -49,11 +53,11 @@ class MeshArrays:
     # (mesh_traversal.cuh:137-139) with a stackless scheme — uniform control
     # flow and no per-lane scatter, which is what the TPU VPU wants.
     bvh_skip: jnp.ndarray        # [N] i32 (-1 terminates traversal)
-    # Materials
-    mat_scalars: jnp.ndarray   # [M, NUM_SCALARS] f32
-    mat_tex_ids: jnp.ndarray   # [M, NUM_TEX_SLOTS] i32
-    mat_tex_chans: jnp.ndarray  # [M, NUM_TEX_SLOTS] i32
-    atlas: jnp.ndarray         # [P, 3] f32
+    # Materials (transposed: scalar/slot axis major, material axis minor)
+    mat_scalars: jnp.ndarray   # [NUM_SCALARS, M] f32
+    mat_tex_ids: jnp.ndarray   # [NUM_TEX_SLOTS, M] i32
+    mat_tex_chans: jnp.ndarray  # [NUM_TEX_SLOTS, M] i32
+    atlas: jnp.ndarray         # [3, P] f32
     tex_offset: jnp.ndarray    # [Ntex] i32
     tex_width: jnp.ndarray     # [Ntex] i32
     tex_height: jnp.ndarray    # [Ntex] i32
@@ -70,7 +74,7 @@ class MeshArrays:
 
     @property
     def num_triangles(self) -> int:
-        return int(self.indices.shape[0])
+        return int(self.indices.shape[1])
 
     @property
     def num_nodes(self) -> int:
@@ -215,23 +219,23 @@ class Mesh:
                            any(m.normal.textured for m in self.materials))
 
         return MeshArrays(
-            vertices=jnp.asarray(vertices, dtype),
-            normals=jnp.asarray(normals, dtype),
-            uvs=jnp.asarray(uvs, dtype),
-            indices=jnp.asarray(indices),
+            vertices=jnp.asarray(vertices.T, dtype),
+            normals=jnp.asarray(normals.T, dtype),
+            uvs=jnp.asarray(uvs.T, dtype),
+            indices=jnp.asarray(indices.T),
             tri_material=jnp.asarray(tri_material),
-            bvh_bounds_min=jnp.asarray(bvh.bounds_min, dtype),
-            bvh_bounds_max=jnp.asarray(bvh.bounds_max, dtype),
+            bvh_bounds_min=jnp.asarray(bvh.bounds_min.T, dtype),
+            bvh_bounds_max=jnp.asarray(bvh.bounds_max.T, dtype),
             bvh_left=jnp.asarray(bvh.left),
             bvh_right=jnp.asarray(bvh.right),
             bvh_first=jnp.asarray(bvh.first),
             bvh_count=jnp.asarray(bvh.count),
             bvh_is_leaf=jnp.asarray(bvh.is_leaf),
             bvh_skip=jnp.asarray(skip),
-            mat_scalars=jnp.asarray(table.scalars, dtype),
-            mat_tex_ids=jnp.asarray(table.tex_ids),
-            mat_tex_chans=jnp.asarray(table.tex_chans),
-            atlas=jnp.asarray(table.atlas, dtype),
+            mat_scalars=jnp.asarray(table.scalars.T, dtype),
+            mat_tex_ids=jnp.asarray(table.tex_ids.T),
+            mat_tex_chans=jnp.asarray(table.tex_chans.T),
+            atlas=jnp.asarray(table.atlas.T, dtype),
             tex_offset=jnp.asarray(table.tex_offset),
             tex_width=jnp.asarray(table.tex_width),
             tex_height=jnp.asarray(table.tex_height),

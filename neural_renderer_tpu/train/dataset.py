@@ -9,6 +9,8 @@ supervision: presence, distance-from-entry, normal and albedo per segment.
 The network's job is to answer those queries, so the generator mirrors the
 inference-time input construction bit-for-bit (shifted entry, exit = min of
 outer exit / inner enter, midpoint, direction in [0,1]).
+
+All vectors are channel-major ([3, B]; network inputs [12, B]).
 """
 
 from __future__ import annotations
@@ -19,16 +21,17 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import traversal
-from ..ops.intersect import compute_hit_data
+from ..ops.intersect import compute_hit_data, resolve_material
+from ..ops.linalg import where3
 from ..render.neural_march import SEGMENT_EPSILON
 
 
 class SegmentBatch(NamedTuple):
-    inputs: jnp.ndarray    # [B, 12] network inputs (normalized)
+    inputs: jnp.ndarray    # [12, B] network inputs (normalized)
     presence: jnp.ndarray  # [B] float 0/1
     distance: jnp.ndarray  # [B] distance from shifted entry (valid if presence)
-    normal: jnp.ndarray    # [B, 3] GT shading normal (valid if presence)
-    color: jnp.ndarray     # [B, 3] GT albedo (valid if presence)
+    normal: jnp.ndarray    # [3, B] GT shading normal (valid if presence)
+    color: jnp.ndarray     # [3, B] GT albedo (valid if presence)
     valid: jnp.ndarray     # [B] segment exists (ray crossed the outer shell)
 
 
@@ -38,19 +41,20 @@ def sample_segment_batch(key, gt_mesh, outer, inner, outer_min, outer_inv_extent
 
     Rays: origins uniform on a sphere of `radius` around the shell, directions
     toward uniform points in the outer bbox (so most rays cross the shell).
+    outer_min / outer_inv_extent: [3] f32.
     """
     k1, k2 = jax.random.split(key)
-    o = jax.random.normal(k1, (batch_size, 3), jnp.float32)
-    o = o / jnp.linalg.norm(o, axis=-1, keepdims=True) * radius
-    extent_target = jax.random.uniform(k2, (batch_size, 3), jnp.float32)
-    target = outer_min + extent_target / jnp.maximum(outer_inv_extent, 1e-12)
+    o = jax.random.normal(k1, (3, batch_size), jnp.float32)
+    o = o / jnp.linalg.norm(o, axis=0, keepdims=True) * radius
+    u = jax.random.uniform(k2, (3, batch_size), jnp.float32)
+    target = outer_min[:, None] + u / jnp.maximum(outer_inv_extent[:, None], 1e-12)
     d = target - o
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / jnp.linalg.norm(d, axis=0, keepdims=True)
 
     # Shell entry (camera-style FORWARD_ONLY).
     res_entry = traversal.trace_mesh(outer, o, d, traversal.FORWARD_ONLY)
     valid = res_entry.hit
-    entry_pos = o + d * res_entry.t[:, None]
+    entry_pos = o + d * res_entry.t[None, :]
     shifted_entry = entry_pos + d * SEGMENT_EPSILON
 
     # Segment exit: min(outer BACKWARD, inner ANY) from the shifted entry.
@@ -61,7 +65,7 @@ def sample_segment_batch(key, gt_mesh, outer, inner, outer_min, outer_inv_extent
                                      traversal.ANY, active=valid)
     inner_t = jnp.where(res_inner.hit, res_inner.t, 1e30)
     seg_t = jnp.where(res_inner.hit & (inner_t < exit_t), inner_t, exit_t)
-    exit_pos = shifted_entry + d * seg_t[:, None]
+    exit_pos = shifted_entry + d * seg_t[None, :]
 
     # Ground truth: closest original-mesh hit from the shifted entry, counted
     # as "inside the segment" if it lands before the segment end.
@@ -72,25 +76,27 @@ def sample_segment_batch(key, gt_mesh, outer, inner, outer_min, outer_inv_extent
 
     hd = compute_hit_data(gt_mesh, shifted_entry, d, res_gt.tri, res_gt.u,
                           res_gt.v, res_gt.t)
-    from ..ops.intersect import resolve_material
     from ..scene.materials import Material
     import numpy as _np
     global_row = jnp.asarray(_np.asarray(Material.default().scalar_row()))
     rm = resolve_material(gt_mesh, hd.material_id, hd.uv, global_row)
 
     # Network inputs, identical to buildSegmentNeuralInputsKernel.
-    norm_entry = (shifted_entry - outer_min) * outer_inv_extent
-    norm_exit = (exit_pos - outer_min) * outer_inv_extent
+    omin = outer_min[:, None]
+    inv = outer_inv_extent[:, None]
+    norm_entry = (shifted_entry - omin) * inv
+    norm_exit = (exit_pos - omin) * inv
     mid = 0.5 * (shifted_entry + exit_pos)
-    norm_mid = (mid - outer_min) * outer_inv_extent
+    norm_mid = (mid - omin) * inv
     dir01 = (d + 1.0) * 0.5
-    inputs = jnp.concatenate([norm_entry, norm_exit, norm_mid, dir01], axis=-1)
+    inputs = jnp.concatenate([norm_entry, norm_exit, norm_mid, dir01], axis=0)
 
+    zero3 = jnp.zeros((3, batch_size), jnp.float32)
     return SegmentBatch(
         inputs=inputs,
         presence=presence,
         distance=jnp.where(inside, res_gt.t, 0.0),
-        normal=jnp.where(inside[:, None], hd.shading_normal, 0.0),
-        color=jnp.where(inside[:, None], rm.base_color, 0.0),
+        normal=where3(inside, hd.shading_normal, zero3),
+        color=where3(inside, rm.base_color, zero3),
         valid=valid,
     )

@@ -27,22 +27,22 @@ def bce_with_logits(logits, targets):
 
 
 def shell_losses(outputs, batch, weights: LossWeights = LossWeights()):
-    """outputs: [B, >=8] network output; batch: SegmentBatch.
+    """outputs: [>=8, B] channel-major network output; batch: SegmentBatch.
     Returns (total, dict of components)."""
     valid = batch.valid.astype(jnp.float32)
     pos = valid * batch.presence
     n_valid = jnp.maximum(valid.sum(), 1.0)
     n_pos = jnp.maximum(pos.sum(), 1.0)
 
-    presence_loss = (bce_with_logits(outputs[:, 0], batch.presence) * valid).sum() / n_valid
-    dist_loss = (jnp.abs(outputs[:, 1] - batch.distance) * pos).sum() / n_pos
+    presence_loss = (bce_with_logits(outputs[0], batch.presence) * valid).sum() / n_valid
+    dist_loss = (jnp.abs(outputs[1] - batch.distance) * pos).sum() / n_pos
 
-    pred_n = outputs[:, 2:5]
-    pred_n = pred_n / jnp.maximum(jnp.linalg.norm(pred_n, axis=-1, keepdims=True), 1e-6)
-    cos = jnp.sum(pred_n * batch.normal, axis=-1)
+    pred_n = outputs[2:5]
+    pred_n = pred_n / jnp.maximum(jnp.linalg.norm(pred_n, axis=0, keepdims=True), 1e-6)
+    cos = jnp.sum(pred_n * batch.normal, axis=0)
     normal_loss = ((1.0 - cos) * pos).sum() / n_pos
 
-    color_loss = (jnp.sum((outputs[:, 5:8] - batch.color) ** 2, axis=-1)
+    color_loss = (jnp.sum((outputs[5:8] - batch.color) ** 2, axis=0)
                   * pos).sum() / n_pos
 
     total = (weights.presence * presence_loss + weights.distance * dist_loss

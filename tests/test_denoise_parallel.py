@@ -1,0 +1,119 @@
+"""Denoiser + multi-chip tile-parallel rendering tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_renderer_tpu.ops.denoise import bilateral_denoise
+from neural_renderer_tpu.ops.srgb import encode_srgb_u8
+from neural_renderer_tpu.parallel import make_mesh, psnr_tiled, render_gt_frame_tiled
+from neural_renderer_tpu.render.params import RenderParams
+from neural_renderer_tpu.render.pathtrace import render_gt_frame
+from neural_renderer_tpu.scene.envmap import EnvironmentMap
+from neural_renderer_tpu.scene.materials import Material
+
+from util import outward_sphere
+
+
+# ---------------------------------------------------------------------------
+# Denoiser
+# ---------------------------------------------------------------------------
+
+def test_denoise_flat_region_reduces_noise(rng):
+    """Uniform guides -> pure spatial filtering -> noise shrinks, mean kept."""
+    h, w = 24, 32
+    clean = np.full((h, w, 3), 0.4, np.float32)
+    noisy = clean + rng.normal(scale=0.15, size=(h, w, 3)).astype(np.float32)
+    normals = np.zeros((h, w, 3), np.float32)
+    normals[..., 1] = 1.0
+    albedo = np.full((h, w, 3), 0.5, np.float32)
+
+    out = np.asarray(bilateral_denoise(
+        jnp.asarray(noisy.transpose(2, 0, 1)), jnp.float32(1.0),
+        jnp.asarray(normals.transpose(2, 0, 1)),
+        jnp.asarray(albedo.transpose(2, 0, 1)))).astype(np.float32) / 255.0
+    raw = np.asarray(encode_srgb_u8(jnp.asarray(noisy))).astype(np.float32) / 255.0
+    # Interior std drops a lot.
+    assert out[5:-5, 5:-5].std() < 0.3 * raw[5:-5, 5:-5].std()
+    assert abs(out[5:-5, 5:-5].mean() - raw[5:-5, 5:-5].mean()) < 0.05
+
+
+def test_denoise_preserves_normal_edges(rng):
+    """Different guide normals across an edge -> no bleeding."""
+    h, w = 16, 32
+    color = np.zeros((h, w, 3), np.float32)
+    color[:, : w // 2] = 0.1
+    color[:, w // 2:] = 0.9
+    normals = np.zeros((h, w, 3), np.float32)
+    normals[:, : w // 2, 0] = 1.0
+    normals[:, w // 2:, 1] = 1.0
+    albedo = np.full((h, w, 3), 0.5, np.float32)
+    out = np.asarray(bilateral_denoise(
+        jnp.asarray(color.transpose(2, 0, 1)), jnp.float32(1.0),
+        jnp.asarray(normals.transpose(2, 0, 1)),
+        jnp.asarray(albedo.transpose(2, 0, 1)))).astype(np.float32) / 255.0
+    left = out[:, : w // 2 - 1].mean()
+    right = out[:, w // 2 + 1:].mean()
+    # Edge preserved: means stay close to srgb of the originals.
+    assert left < 0.45
+    assert right > 0.8
+
+
+def test_denoise_accum_normalization():
+    """accum holds sums; count divides them."""
+    h, w = 8, 8
+    accum = np.full((h, w, 3), 4 * 0.25, np.float32)  # 4 samples of 0.25
+    normals = np.zeros((h, w, 3), np.float32)
+    normals[..., 2] = 1.0
+    albedo = np.zeros((h, w, 3), np.float32)
+    out = np.asarray(bilateral_denoise(
+        jnp.asarray(accum.transpose(2, 0, 1)), jnp.float32(4.0),
+        jnp.asarray(normals.transpose(2, 0, 1)),
+        jnp.asarray(albedo.transpose(2, 0, 1)))).astype(np.float32) / 255.0
+    expected = float(np.asarray(encode_srgb_u8(jnp.asarray([0.25]))).astype(np.float32) / 255.0)
+    assert abs(out.mean() - expected) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Tile data-parallel rendering (8 virtual CPU devices)
+# ---------------------------------------------------------------------------
+
+def _setup(width=16, height=16, spp=1, bounces=1):
+    mesh = outward_sphere(8, 16, 1.0).to_arrays()
+    env = EnvironmentMap().to_arrays()
+    params = RenderParams.make(
+        width=width, height=height, samples_per_pixel=spp, max_bounces=bounces,
+        cam_pos=[0, 0, 3.0], cam_forward=[0, 0, -1.0], cam_right=[1, 0, 0.0],
+        cam_up=[0, 1, 0.0], fov_y=1.0, material=Material.default(),
+        scene_scale=2.0)
+    return mesh, env, params
+
+
+def test_tiled_render_matches_single_device(cpu_devices):
+    mesh_a, env, params = _setup()
+    cpu = cpu_devices[0]
+    put = lambda t: jax.device_put(t, cpu)
+    mesh_c, env_c, params_c = put(mesh_a), put(env), put(params)
+    accum = jnp.zeros((3, params.pixel_count), jnp.float32)
+    img_ref, accum_ref = jax.jit(render_gt_frame)(mesh_c, env_c, params_c,
+                                                  jax.device_put(accum, cpu))
+
+    mesh2d = make_mesh(cpu_devices, dp=8, tp=1)
+    img_tiled, accum_tiled = render_gt_frame_tiled(
+        mesh_a, env, params, accum, mesh2d)
+
+    np.testing.assert_array_equal(np.asarray(img_ref), np.asarray(img_tiled))
+    np.testing.assert_allclose(np.asarray(accum_ref), np.asarray(accum_tiled),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_psnr_tiled_matches_host(cpu_devices, rng):
+    from neural_renderer_tpu.metrics import compute_psnr
+    a = rng.integers(0, 256, (16, 8, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (16, 8, 3), dtype=np.uint8)
+    mesh2d = make_mesh(cpu_devices, dp=8, tp=1)
+    got = float(psnr_tiled(jnp.asarray(a), jnp.asarray(b), mesh2d))
+    want = compute_psnr(a, b)
+    assert got == pytest.approx(want, abs=1e-3)

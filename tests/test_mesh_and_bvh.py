@@ -197,4 +197,4 @@ def test_mesh_to_arrays():
 def test_empty_mesh_to_arrays():
     arrays = Mesh().to_arrays()
     assert arrays.is_empty
-    assert arrays.indices.shape == (1, 3)
+    assert arrays.indices.shape == (3, 1)

@@ -54,13 +54,13 @@ def test_hashgrid_interpolation_continuity(rng):
     tables = init_hashgrid(jax.random.PRNGKey(1), cfg)
     # At x such that p = x*scale + 0.5 is integer k: x = (k - 0.5)/15.
     k = 7
-    x = jnp.asarray([[(k - 0.5) / 15.0] * 3], jnp.float32)
+    x = jnp.full((3, 1), (k - 0.5) / 15.0, jnp.float32)
     feat = hashgrid_encode(tables, x, cfg)
     want = np.asarray(tables[0][k + 16 * k + 256 * k])
     np.testing.assert_allclose(np.asarray(feat[0]), want, rtol=1e-4)
 
     # Continuity: small input steps -> small feature steps.
-    xs = jnp.linspace(0.2, 0.21, 50)[:, None].repeat(3, axis=1)
+    xs = jnp.linspace(0.2, 0.21, 50)[None, :].repeat(3, axis=0)
     feats = np.asarray(hashgrid_encode(tables, xs, cfg))
     deltas = np.abs(np.diff(feats, axis=0)).max()
     assert deltas < 2e-5
@@ -69,7 +69,7 @@ def test_hashgrid_interpolation_continuity(rng):
 def test_hashgrid_encode_shapes(rng):
     cfg = HashGridConfig()
     tables = init_hashgrid(jax.random.PRNGKey(0), cfg)
-    x = jnp.asarray(rng.uniform(size=(17, 3)), jnp.float32)
+    x = jnp.asarray(rng.uniform(size=(3, 17)), jnp.float32)
     out = hashgrid_encode(tables, x, cfg)
     assert out.shape == (17, 32)
     assert np.isfinite(np.asarray(out)).all()
@@ -80,7 +80,7 @@ def test_hashgrid_encode_shapes(rng):
 # ---------------------------------------------------------------------------
 
 def test_sh_constant_and_linear_terms():
-    d01 = jnp.asarray([[0.5, 0.5, 1.0]])  # dir = (0, 0, 1)
+    d01 = jnp.asarray([[0.5], [0.5], [1.0]])  # dir = (0, 0, 1)
     sh = np.asarray(sh_encode(d01))[0]
     assert sh[0] == pytest.approx(0.28209479, abs=1e-6)
     assert sh[1] == pytest.approx(0.0, abs=1e-7)          # -c*y, y=0
@@ -92,9 +92,9 @@ def test_sh_constant_and_linear_terms():
 def test_sh_orthogonality(rng):
     """Real SH basis functions are orthonormal over the sphere:
     4*pi*E[Y_i Y_j] = delta_ij under uniform direction sampling."""
-    d = rng.normal(size=(200_000, 3))
+    d = rng.normal(size=(60_000, 3))
     d = d / np.linalg.norm(d, axis=1, keepdims=True)
-    d01 = jnp.asarray((d + 1.0) * 0.5, jnp.float32)
+    d01 = jnp.asarray(((d + 1.0) * 0.5).T, jnp.float32)
     y = np.asarray(sh_encode(d01))
     gram = 4.0 * np.pi * (y.T @ y) / y.shape[0]
     np.testing.assert_allclose(gram, np.eye(16), atol=0.05)
@@ -107,16 +107,16 @@ def test_sh_orthogonality(rng):
 def test_network_forward_shapes():
     cfg = nbvh.NbvhConfig()
     params = nbvh.init_params(jax.random.PRNGKey(0), cfg)
-    x = jnp.asarray(np.random.default_rng(0).uniform(size=(33, 12)), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(12, 33)), jnp.float32)
     out = nbvh.apply(params, x, cfg, compute_dtype=jnp.float32)
-    assert out.shape == (33, 16)
+    assert out.shape == (16, 33)
     assert np.isfinite(np.asarray(out)).all()
 
 
 def test_bf16_close_to_f32():
     cfg = nbvh.NbvhConfig()
     params = nbvh.init_params(jax.random.PRNGKey(0), cfg)
-    x = jnp.asarray(np.random.default_rng(0).uniform(size=(64, 12)), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(12, 64)), jnp.float32)
     out32 = np.asarray(nbvh.apply(params, x, cfg, compute_dtype=jnp.float32))
     out16 = np.asarray(nbvh.apply(params, x, cfg, compute_dtype=jnp.bfloat16))
     scale = np.abs(out32).max() + 1e-6
@@ -162,10 +162,10 @@ def test_flat_blob_size_mismatch(tmp_path):
 def test_crafted_net_constant_output():
     cfg = nbvh.NbvhConfig()
     params = crafted_net_params(cfg, presence=-3.0, distance=0.7)
-    x = jnp.asarray(np.random.default_rng(0).uniform(size=(8, 12)), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(12, 8)), jnp.float32)
     out = np.asarray(nbvh.apply(params, x, cfg, compute_dtype=jnp.float32))
-    np.testing.assert_allclose(out[:, 0], -3.0, atol=1e-4)
-    np.testing.assert_allclose(out[:, 1], 0.7, atol=1e-4)
+    np.testing.assert_allclose(out[0], -3.0, atol=1e-4)
+    np.testing.assert_allclose(out[1], 0.7, atol=1e-4)
 
 
 # ---------------------------------------------------------------------------
@@ -176,8 +176,8 @@ def _march_setup(inner_present=True):
     outer = outward_sphere(10, 20, 1.2).to_arrays()
     inner = (outward_sphere(10, 20, 0.8) if inner_present else Mesh()).to_arrays()
     cfg = nbvh.NbvhConfig()
-    omin = np.asarray(outer.bvh_bounds_min[0])
-    omax = np.asarray(outer.bvh_bounds_max[0])
+    omin = np.asarray(outer.bvh_bounds_min[:, 0])
+    omax = np.asarray(outer.bvh_bounds_max[:, 0])
     params = RenderParams.make(
         width=4, height=4, samples_per_pixel=1, max_bounces=1,
         cam_pos=[0, 0, 3.0], cam_forward=[0, 0, -1.0],
@@ -190,8 +190,8 @@ def _march_setup(inner_present=True):
 def _march(ctx, params, origins, dirs, **kw):
     fn = jax.jit(lambda c, p, o, d: trace_neural_segments(
         c, p, o, d, compute_dtype=jnp.float32, **kw))
-    return fn(ctx, params, jnp.asarray(origins, jnp.float32),
-              jnp.asarray(dirs, jnp.float32))
+    return fn(ctx, params, jnp.asarray(np.asarray(origins, np.float32).T),
+              jnp.asarray(np.asarray(dirs, np.float32).T))
 
 
 def test_march_always_hit_net():
@@ -205,7 +205,7 @@ def test_march_always_hit_net():
     assert bool(hits.hit[0])          # through the shell
     assert not bool(hits.hit[1])      # away from the shell
     # Entry at z≈1.2, hit at entry + 0.15 along -z.
-    assert float(hits.position[0, 2]) == pytest.approx(1.2 - 0.15, abs=0.02)
+    assert float(hits.position[2, 0]) == pytest.approx(1.2 - 0.15, abs=0.02)
     assert float(hits.distance[0]) == pytest.approx(0.15, abs=1e-3)
 
 
@@ -232,7 +232,7 @@ def test_march_inner_shell_forces_hit():
     assert bool(hits.hit[0])
     # Central ray: outer entry 1.2 -> inner enter at t=0.4 from entry;
     # clamp keeps hit within the inner boundary.
-    assert float(hits.position[0, 2]) == pytest.approx(1.2 - 0.3, abs=0.02)
+    assert float(hits.position[2, 0]) == pytest.approx(1.2 - 0.3, abs=0.02)
 
 
 def test_march_from_rays_inside_shell():
@@ -247,8 +247,8 @@ def test_march_from_rays_inside_shell():
     dirs = np.array([[1.0, 0.0, 0.0]])
     hits = jax.jit(lambda c, p, o, d: trace_neural_segments(
         c, p, o, d, camera_rays=False, compute_dtype=jnp.float32))(
-        ctx, params, jnp.asarray(origins, jnp.float32),
-        jnp.asarray(dirs, jnp.float32))
+        ctx, params, jnp.asarray(np.asarray(origins, np.float32).T),
+        jnp.asarray(np.asarray(dirs, np.float32).T))
     # The ray exits the outer shell; with no re-entry it can only hit if the
     # net fires inside a segment — here there is no segment after exit, so
     # this must simply terminate without NaNs.
@@ -267,5 +267,5 @@ def test_march_constant_neural_color():
     origins = np.broadcast_to([0.0, 0.0, 3.0], (1, 3))
     dirs = np.array([[0.0, 0.0, -1.0]])
     hits = _march(ctx, params, origins, dirs)
-    np.testing.assert_allclose(np.asarray(hits.albedo[0]), [0.2, 0.4, 0.6],
+    np.testing.assert_allclose(np.asarray(hits.albedo[:, 0]), [0.2, 0.4, 0.6],
                                atol=1e-6)

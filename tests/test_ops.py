@@ -1,5 +1,9 @@
 """JAX ops tests: RNG bit-exactness, traversal vs brute force, env sampling,
-sRGB, Disney BRDF self-consistency."""
+sRGB, Disney BRDF self-consistency.
+
+All device vectors are channel-major [3, N]; tests build numpy [N, 3] and
+transpose at the boundary.
+"""
 
 import numpy as np
 import pytest
@@ -12,6 +16,11 @@ from neural_renderer_tpu.ops.camera import generate_primary_rays
 from neural_renderer_tpu.ops.intersect import compute_hit_data, intersect_triangle
 from neural_renderer_tpu.scene.envmap import EnvironmentMap
 from neural_renderer_tpu.scene.mesh_loader import generate_uv_sphere
+
+
+def cm(a):
+    """numpy [N, 3] -> jnp [3, N]."""
+    return jnp.asarray(np.asarray(a, np.float32).T)
 
 
 # ---------------------------------------------------------------------------
@@ -39,7 +48,6 @@ def test_wang_hash_bit_exact():
 def test_init_rng_and_rand01():
     pixel = jnp.asarray([7, 123456], dtype=jnp.uint32)
     state = rng_ops.init_rng(pixel, 8, 3)
-    # numpy reference
     with np.errstate(over="ignore"):
         seed = (np.uint32(7) * np.uint32(9781)
                 + np.uint32(8 + 3 + 1) * np.uint32(6271))
@@ -68,10 +76,10 @@ def test_primary_rays_center_points_forward():
     pos = jnp.array([1.0, 2.0, 3.0])
     _, origins, dirs = generate_primary_rays(
         px, py, state, pos, fwd, right, up, jnp.float32(1.0), w, h)
-    np.testing.assert_allclose(np.asarray(origins[0]), [1, 2, 3], atol=1e-6)
-    # Near the center the direction is approximately forward.
-    assert float(jnp.dot(dirs[0], fwd)) > 0.99
-    np.testing.assert_allclose(float(jnp.linalg.norm(dirs[0])), 1.0, atol=1e-6)
+    assert origins.shape == (3, 1) and dirs.shape == (3, 1)
+    np.testing.assert_allclose(np.asarray(origins[:, 0]), [1, 2, 3], atol=1e-6)
+    assert float(jnp.sum(dirs[:, 0] * fwd)) > 0.99
+    np.testing.assert_allclose(float(jnp.linalg.norm(dirs[:, 0])), 1.0, atol=1e-6)
 
 
 # ---------------------------------------------------------------------------
@@ -79,16 +87,16 @@ def test_primary_rays_center_points_forward():
 # ---------------------------------------------------------------------------
 
 def test_intersect_triangle_basic():
-    o = jnp.array([[0.0, 0.0, -1.0]])
-    d = jnp.array([[0.0, 0.0, 1.0]])
-    v0 = jnp.array([[-1.0, -1.0, 0.0]])
-    v1 = jnp.array([[1.0, -1.0, 0.0]])
-    v2 = jnp.array([[0.0, 1.0, 0.0]])
+    o = cm([[0.0, 0.0, -1.0]])
+    d = cm([[0.0, 0.0, 1.0]])
+    v0 = cm([[-1.0, -1.0, 0.0]])
+    v1 = cm([[1.0, -1.0, 0.0]])
+    v2 = cm([[0.0, 1.0, 0.0]])
     t, u, v, ok = intersect_triangle(o, d, v0, v1, v2)
     assert bool(ok[0])
     assert float(t[0]) == pytest.approx(1.0, abs=1e-6)
     # Miss
-    o2 = jnp.array([[5.0, 5.0, -1.0]])
+    o2 = cm([[5.0, 5.0, -1.0]])
     t2, _, _, ok2 = intersect_triangle(o2, d, v0, v1, v2)
     assert not bool(ok2[0])
     assert float(t2[0]) >= 1e29
@@ -108,8 +116,8 @@ def _random_rays(rng, n, r_origin=3.0, r_target=0.4):
 def test_traversal_matches_bruteforce(rng, mode):
     mesh = generate_uv_sphere(12, 24, 1.0).to_arrays()
     origins, dirs = _random_rays(rng, 128)
-    res_bvh = traversal.trace_mesh(mesh, jnp.asarray(origins), jnp.asarray(dirs), mode)
-    res_ref = traversal.trace_mesh_brute(mesh, jnp.asarray(origins), jnp.asarray(dirs), mode)
+    res_bvh = traversal.trace_mesh(mesh, cm(origins), cm(dirs), mode)
+    res_ref = traversal.trace_mesh_brute(mesh, cm(origins), cm(dirs), mode)
     np.testing.assert_array_equal(np.asarray(res_bvh.hit), np.asarray(res_ref.hit))
     hits = np.asarray(res_ref.hit)
     np.testing.assert_allclose(np.asarray(res_bvh.t)[hits],
@@ -122,10 +130,9 @@ def test_traversal_rays_from_inside(rng):
     """Rays starting inside the sphere must hit (ANY) for every direction."""
     mesh = generate_uv_sphere(12, 24, 1.0).to_arrays()
     dirs = rng.normal(size=(64, 3))
-    dirs = (dirs / np.linalg.norm(dirs, axis=1, keepdims=True)).astype(np.float32)
+    dirs = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
     origins = np.zeros((64, 3), dtype=np.float32)
-    res = traversal.trace_mesh(mesh, jnp.asarray(origins), jnp.asarray(dirs),
-                               traversal.ANY)
+    res = traversal.trace_mesh(mesh, cm(origins), cm(dirs), traversal.ANY)
     assert np.asarray(res.hit).all()
     np.testing.assert_allclose(np.asarray(res.t), 1.0, atol=2e-2)
 
@@ -134,8 +141,8 @@ def test_traversal_active_mask(rng):
     mesh = generate_uv_sphere(8, 16, 1.0).to_arrays()
     origins, dirs = _random_rays(rng, 32)
     active = jnp.asarray(np.arange(32) % 2 == 0)
-    res = traversal.trace_mesh(mesh, jnp.asarray(origins), jnp.asarray(dirs),
-                               traversal.ANY, active=active)
+    res = traversal.trace_mesh(mesh, cm(origins), cm(dirs), traversal.ANY,
+                               active=active)
     assert not np.asarray(res.hit)[1::2].any()
 
 
@@ -143,17 +150,14 @@ def test_compute_hit_data_sphere(rng):
     host = generate_uv_sphere(16, 32, 1.0)
     mesh = host.to_arrays()
     origins, dirs = _random_rays(rng, 64)
-    res = traversal.trace_mesh(mesh, jnp.asarray(origins), jnp.asarray(dirs),
-                               traversal.ANY)
-    hit_data = compute_hit_data(mesh, jnp.asarray(origins), jnp.asarray(dirs),
+    res = traversal.trace_mesh(mesh, cm(origins), cm(dirs), traversal.ANY)
+    hit_data = compute_hit_data(mesh, cm(origins), cm(dirs),
                                 res.tri, res.u, res.v, res.t)
     hits = np.asarray(res.hit)
-    pos = np.asarray(hit_data.position)[hits]
-    # Points on the unit sphere (chord interpolation keeps them within ~1).
+    pos = np.asarray(hit_data.position).T[hits]
     radii = np.linalg.norm(pos, axis=1)
     assert (np.abs(radii - 1.0) < 0.05).all()
-    # Shading normals approximate the radial direction.
-    sn = np.asarray(hit_data.shading_normal)[hits]
+    sn = np.asarray(hit_data.shading_normal).T[hits]
     dots = np.sum(sn * pos / radii[:, None], axis=1)
     assert dots.min() > 0.98
 
@@ -164,31 +168,28 @@ def test_compute_hit_data_sphere(rng):
 
 def test_environment_fallback_sky():
     env = EnvironmentMap().to_arrays()
-    dirs = jnp.array([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]])
-    colors = np.asarray(envlight.sample_environment(env, dirs))
-    np.testing.assert_allclose(colors[0], [0.5, 0.7, 1.0], atol=1e-6)  # up = sky top
-    np.testing.assert_allclose(colors[1], [1.0, 1.0, 1.0], atol=1e-6)  # down = bottom
+    dirs = cm([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]])
+    colors = np.asarray(envlight.sample_environment(env, dirs)).T
+    np.testing.assert_allclose(colors[0], [0.5, 0.7, 1.0], atol=1e-6)
+    np.testing.assert_allclose(colors[1], [1.0, 1.0, 1.0], atol=1e-6)
 
 
 def test_environment_lookup_and_rotation():
     em = EnvironmentMap()
-    # 4x2 grid with distinct colors.
     px = np.zeros((2, 4, 3), dtype=np.float32)
     px[:, :, 0] = np.arange(4)[None, :]
     px[:, :, 1] = np.arange(2)[:, None]
     em.pixels = px
     env = em.to_arrays()
 
-    d = jnp.array([[0.0, 0.0, -1.0]])  # u = atan2(0, 1)/(2pi)+0.5 = 0.5
-    c = np.asarray(envlight.sample_environment(env, d))[0]
-    # u=0.5 -> x=1.5 -> lerp between columns 1 and 2 at 0.5; v=0.5 -> rows.
+    d = cm([[0.0, 0.0, -1.0]])  # u = atan2(0, 1)/(2pi)+0.5 = 0.5
+    c = np.asarray(envlight.sample_environment(env, d))[:, 0]
     assert c[0] == pytest.approx(1.5, abs=1e-5)
     assert c[1] == pytest.approx(0.5, abs=1e-5)
 
-    # 90 deg rotation about Y sends -z to a different u.
     em.set_rotation(90.0)
     env_rot = em.to_arrays()
-    c_rot = np.asarray(envlight.sample_environment(env_rot, d))[0]
+    c_rot = np.asarray(envlight.sample_environment(env_rot, d))[:, 0]
     assert abs(c_rot[0] - c[0]) > 0.1
 
 
@@ -196,7 +197,7 @@ def test_environment_clamp():
     em = EnvironmentMap()
     em.pixels = np.full((2, 8, 3), 1e6, dtype=np.float32)
     env = em.to_arrays()
-    d = jnp.array([[0.0, 0.0, 1.0]])
+    d = cm([[0.0, 0.0, 1.0]])
     c = np.asarray(envlight.sample_environment(env, d))
     np.testing.assert_allclose(c, 100.0)
     c2 = np.asarray(envlight.sample_environment_clamped(env, d, jnp.float32(10.0)))
@@ -227,7 +228,7 @@ def test_srgb_reference_points():
 
 def _material(n, **over):
     base = dict(
-        base_color=jnp.full((n, 3), 0.8),
+        base_color=jnp.full((3, n), 0.8),
         metallic=jnp.zeros(n), roughness=jnp.full(n, 0.5),
         specular=jnp.full(n, 0.5), specular_tint=jnp.zeros(n),
         anisotropy=jnp.zeros(n), sheen=jnp.zeros(n), sheen_tint=jnp.zeros(n),
@@ -235,7 +236,7 @@ def _material(n, **over):
         ior=jnp.full(n, 1.5), specular_transmission=jnp.zeros(n))
     for k, val in over.items():
         if k == "base_color":
-            base[k] = jnp.broadcast_to(jnp.asarray(val), (n, 3))
+            base[k] = jnp.broadcast_to(jnp.asarray(val)[:, None], (3, n))
         else:
             base[k] = jnp.full(n, val)
     return brdf.BrdfMaterial(**base)
@@ -243,22 +244,19 @@ def _material(n, **over):
 
 def test_diffuse_brdf_value():
     """Pure rough diffuse at normal incidence ≈ base_color/pi * retro terms."""
-    n = jnp.array([[0.0, 0.0, 1.0]])
-    wo = jnp.array([[0.0, 0.0, 1.0]])
-    wi = jnp.array([[0.0, 0.0, 1.0]])
+    n = cm([[0.0, 0.0, 1.0]])
+    wo = cm([[0.0, 0.0, 1.0]])
+    wi = cm([[0.0, 0.0, 1.0]])
     mat = _material(1, roughness=1.0, specular=0.0)
     t, b = brdf.build_tangent_space(n)
-    f = np.asarray(brdf.disney_eval(mat, n, wo, wi, t, b))[0]
-    # fd90 = 0.5 + 2*1*1 = 2.5, fi=fo=0 -> lerp = 1 -> diffuse = 0.8/pi.
-    # Specular adds GGX at n=h: alpha=1 -> D=1/pi, F=0.04*spec... spec=0 tint
-    # path -> F0 = 0; schlick(1)=0 -> f_spec = 0.
+    f = np.asarray(brdf.disney_eval(mat, n, wo, wi, t, b))[:, 0]
     assert f[0] == pytest.approx(0.8 / np.pi, rel=1e-3)
 
 
 def test_eval_opposite_hemisphere_no_transmission_is_zero():
-    n = jnp.array([[0.0, 0.0, 1.0]])
-    wo = jnp.array([[0.0, 0.0, 1.0]])
-    wi = jnp.array([[0.0, 0.0, -1.0]])
+    n = cm([[0.0, 0.0, 1.0]])
+    wo = cm([[0.0, 0.0, 1.0]])
+    wi = cm([[0.0, 0.0, -1.0]])
     mat = _material(1)
     t, b = brdf.build_tangent_space(n)
     f = np.asarray(brdf.disney_eval(mat, n, wo, wi, t, b))
@@ -267,52 +265,52 @@ def test_eval_opposite_hemisphere_no_transmission_is_zero():
 
 def test_pdf_integrates_to_one(rng):
     """MC integral of the 3-component mixture PDF over the sphere ≈ 1."""
-    n_samples = 200_000
-    normal = jnp.array([[0.0, 0.0, 1.0]])
-    wo = jnp.broadcast_to(jnp.asarray([0.3, 0.1, 0.95]) /
-                          np.linalg.norm([0.3, 0.1, 0.95]), (n_samples, 3))
-    nrm = jnp.broadcast_to(normal, (n_samples, 3))
+    n_samples = 100_000
+    wo_v = np.array([0.3, 0.1, 0.95])
+    wo_v = wo_v / np.linalg.norm(wo_v)
+    wo = jnp.broadcast_to(jnp.asarray(wo_v, jnp.float32)[:, None], (3, n_samples))
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32)[:, None],
+                           (3, n_samples))
     dirs = rng.normal(size=(n_samples, 3))
-    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=1, keepdims=True),
-                       dtype=jnp.float32)
+    dirs = cm(dirs / np.linalg.norm(dirs, axis=1, keepdims=True))
     mat = _material(n_samples, roughness=0.6, clearcoat=1.0, clearcoat_gloss=0.5)
     t, b = brdf.build_tangent_space(nrm)
     pdf = np.asarray(brdf.disney_pdf_3component(mat, nrm, wo, dirs, t, b))
     pdf = np.nan_to_num(pdf, nan=0.0, posinf=0.0, neginf=0.0)
     integral = pdf.mean() * 4.0 * np.pi
-    assert integral == pytest.approx(1.0, abs=0.08)
+    assert integral == pytest.approx(1.0, abs=0.1)
 
 
 def test_sample_3component_consistency(rng):
     """Sampled directions have positive mixture pdf and lie in the right
     hemisphere for reflective lobes; invalid samples are flagged pdf=0."""
     n_samples = 4096
-    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n_samples, 3))
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32)[:, None],
+                           (3, n_samples))
     wo_single = np.array([0.4, -0.2, 0.89])
-    wo = jnp.broadcast_to(jnp.asarray(wo_single / np.linalg.norm(wo_single)),
-                          (n_samples, 3)).astype(jnp.float32)
+    wo_single = wo_single / np.linalg.norm(wo_single)
+    wo = jnp.broadcast_to(jnp.asarray(wo_single, jnp.float32)[:, None],
+                          (3, n_samples))
     u = rng.uniform(size=(3, n_samples)).astype(np.float32)
     mat = _material(n_samples, roughness=0.4, metallic=0.3, clearcoat=0.5)
     t, b = brdf.build_tangent_space(nrm)
     wi, pdf = brdf.disney_sample_3component(
         mat, nrm, wo, t, b, jnp.asarray(u[0]), jnp.asarray(u[1]), jnp.asarray(u[2]))
-    wi = np.asarray(wi)
+    wi = np.asarray(wi).T
     pdf = np.asarray(pdf)
     valid = pdf > 0
     assert valid.mean() > 0.7
-    # Valid samples are unit vectors in the upper hemisphere.
     lens = np.linalg.norm(wi[valid], axis=1)
     np.testing.assert_allclose(lens, 1.0, atol=1e-4)
     assert (wi[valid][:, 2] > 0).all()
-    # BRDF weight f*cos/pdf is finite for valid samples.
-    f = np.asarray(brdf.disney_eval(mat, nrm, wo, jnp.asarray(wi), t, b))
+    f = np.asarray(brdf.disney_eval(mat, nrm, wo, cm(wi), t, b)).T
     w = f[valid] * np.abs(wi[valid][:, 2:3]) / pdf[valid][:, None]
     assert np.isfinite(w).all()
 
 
 def test_sample_full_transmission_invalid():
-    nrm = jnp.array([[0.0, 0.0, 1.0]])
-    wo = jnp.array([[0.0, 0.0, 1.0]])
+    nrm = cm([[0.0, 0.0, 1.0]])
+    wo = cm([[0.0, 0.0, 1.0]])
     mat = _material(1, specular_transmission=1.0)
     t, b = brdf.build_tangent_space(nrm)
     _, pdf = brdf.disney_sample_3component(
@@ -322,11 +320,11 @@ def test_sample_full_transmission_invalid():
 
 def test_build_tangent_space_orthonormal(rng):
     n = rng.normal(size=(256, 3))
-    n = jnp.asarray(n / np.linalg.norm(n, axis=1, keepdims=True), jnp.float32)
+    n = cm(n / np.linalg.norm(n, axis=1, keepdims=True))
     t, b = brdf.build_tangent_space(n)
-    tn = np.asarray(t)
-    bn = np.asarray(b)
-    nn = np.asarray(n)
+    tn = np.asarray(t).T
+    bn = np.asarray(b).T
+    nn = np.asarray(n).T
     np.testing.assert_allclose(np.linalg.norm(tn, axis=1), 1.0, atol=1e-5)
     np.testing.assert_allclose(np.linalg.norm(bn, axis=1), 1.0, atol=1e-5)
     assert np.abs(np.sum(tn * nn, axis=1)).max() < 1e-5

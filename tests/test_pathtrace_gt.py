@@ -56,7 +56,7 @@ def test_lambert_render():
 
 def test_gt_frame_basic():
     mesh, env, params = _setup()
-    accum = jnp.zeros((params.pixel_count, 3), jnp.float32)
+    accum = jnp.zeros((3, params.pixel_count), jnp.float32)
     img, accum2 = jax.jit(render_gt_frame)(mesh, env, params, accum)
     img = np.asarray(img)
     assert img.shape == (24, 32, 3)
@@ -71,7 +71,7 @@ def test_gt_accumulation_batches_match_single_call():
     """Two 2-spp batches == one 4-spp call (sampleOffset stream semantics,
     evaluate.cu:253-264)."""
     mesh, env, p2 = _setup(spp=2)
-    accum = jnp.zeros((p2.pixel_count, 3), jnp.float32)
+    accum = jnp.zeros((3, p2.pixel_count), jnp.float32)
     img_a, accum = render_gt_frame(mesh, env, p2, accum)
     p2b = jax.tree_util.tree_map(lambda x: x, p2)
     import dataclasses
@@ -79,7 +79,7 @@ def test_gt_accumulation_batches_match_single_call():
     img_b, accum = render_gt_frame(mesh, env, p2b, accum)
 
     _, _, p4 = _setup(spp=4)
-    accum4 = jnp.zeros((p4.pixel_count, 3), jnp.float32)
+    accum4 = jnp.zeros((3, p4.pixel_count), jnp.float32)
     img_c, accum4 = render_gt_frame(mesh, env, p4, accum4)
 
     np.testing.assert_allclose(np.asarray(accum), np.asarray(accum4),
@@ -89,7 +89,7 @@ def test_gt_accumulation_batches_match_single_call():
 
 def test_gt_deterministic():
     mesh, env, params = _setup()
-    accum = jnp.zeros((params.pixel_count, 3), jnp.float32)
+    accum = jnp.zeros((3, params.pixel_count), jnp.float32)
     img1, _ = render_gt_frame(mesh, env, params, accum)
     img2, _ = render_gt_frame(mesh, env, params, accum)
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
@@ -107,7 +107,7 @@ def test_gt_emissive_free_energy_conservation():
         cam_pos=[0.0, 0.0, 3.0], cam_forward=[0.0, 0.0, -1.0],
         cam_right=[1.0, 0.0, 0.0], cam_up=[0.0, 1.0, 0.0], fov_y=1.0,
         material=Material.default(), scene_scale=2.0)
-    accum = jnp.zeros((params.pixel_count, 3), jnp.float32)
+    accum = jnp.zeros((3, params.pixel_count), jnp.float32)
     _, accum = render_gt_frame(mesh, env, params, accum)
     mean_rad = np.asarray(accum) / params.samples_per_pixel
     assert np.isfinite(mean_rad).all()
