@@ -109,7 +109,7 @@ def hashgrid_encode_features(tables, x, config: HashGridConfig):
         c0 = corner.astype(jnp.int32)
 
         table_t = tables[level].T  # [F, E] — feature-major for dense gathers
-        feats = [0.0] * config.n_features
+        acc = 0.0
         for dz in (0, 1):
             for dy in (0, 1):
                 for dx in (0, 1):
@@ -119,9 +119,10 @@ def hashgrid_encode_features(tables, x, config: HashGridConfig):
                     wy = w[1] if dy else (1.0 - w[1])
                     wz = w[2] if dz else (1.0 - w[2])
                     wc = wx * wy * wz
-                    for f in range(config.n_features):
-                        feats[f] = feats[f] + jnp.take(table_t[f], idx) * wc
-        outs.extend(feats)
+                    # ONE packed gather per corner ([F, N]); XLA TPU gathers
+                    # pay per-index, so per-feature takes would cost 4x.
+                    acc = acc + jnp.take(table_t, idx, axis=1) * wc[None, :]
+        outs.extend(acc[f] for f in range(config.n_features))
     return outs
 
 

@@ -1,0 +1,133 @@
+"""Pallas dense ray-mesh intersection kernel.
+
+The TPU traversal story (ops/traversal.py) picks dense all-pairs testing for
+small-to-medium meshes because XLA gather throughput makes pointer-chasing
+BVH walks uncompetitive. This kernel is the speed-of-light version of that
+dense path: the whole packed triangle array (9 rows x T, T <= ~16k) lives in
+VMEM for every grid step, each block of 512 rays sweeps it in 128-triangle
+register tiles on the VPU, and nothing but the final [2, N] best-hit record
+ever touches HBM. The XLA fallback (_trace_dense) computes identical math
+and serves as the oracle + CPU path.
+
+Output packing: row 0 = best_t (1e30 on miss), row 1 = best triangle index
+bitcast to f32 (one output block, one store).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_RAYS = 512
+TRI_TILE = 128
+MIN_T = 1e-6
+TRI_EPSILON = 1e-8
+
+
+def _kernel(o_ref, d_ref, tri_ref, out_ref, *, mode: int, num_tiles: int):
+    ox = o_ref[0, :][:, None]
+    oy = o_ref[1, :][:, None]
+    oz = o_ref[2, :][:, None]
+    dx = d_ref[0, :][:, None]
+    dy = d_ref[1, :][:, None]
+    dz = d_ref[2, :][:, None]
+
+    def tile(c, state):
+        best_t, best_tri = state
+        tb = tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)]  # [9, TRI_TILE] VMEM
+        v0x = tb[0, :][None, :]
+        v0y = tb[1, :][None, :]
+        v0z = tb[2, :][None, :]
+        e1x = tb[3, :][None, :]
+        e1y = tb[4, :][None, :]
+        e1z = tb[5, :][None, :]
+        e2x = tb[6, :][None, :]
+        e2y = tb[7, :][None, :]
+        e2z = tb[8, :][None, :]
+
+        # pvec = d x e2
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= TRI_EPSILON
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        ok &= (u >= 0.0) & (u <= 1.0)
+
+        # qvec = tvec x e1
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        ok &= (v >= 0.0) & (u + v <= 1.0)
+
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok &= t > TRI_EPSILON
+
+        if mode != 0:  # facing cull against the unnormalized geometric normal
+            nx = e1y * e2z - e1z * e2y
+            ny = e1z * e2x - e1x * e2z
+            nz = e1x * e2y - e1y * e2x
+            facing = nx * dx + ny * dy + nz * dz
+            if mode == 1:   # FORWARD_ONLY
+                ok &= facing < 0.0
+            else:           # BACKWARD_ONLY
+                ok &= facing > 0.0
+
+        t = jnp.where(ok & (t > MIN_T), t, 1e30)
+        tc = jnp.min(t, axis=1)
+        # argmin via iota trick (portable across mosaic versions).
+        ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        ci = jnp.min(jnp.where(t <= tc[:, None], ids, TRI_TILE), axis=1)
+
+        better = tc < best_t
+        best_t = jnp.where(better, tc, best_t)
+        best_tri = jnp.where(better, c * TRI_TILE + ci, best_tri)
+        return best_t, best_tri
+
+    init = (jnp.full((BLOCK_RAYS,), 1e30, jnp.float32),
+            jnp.zeros((BLOCK_RAYS,), jnp.int32))
+    best_t, best_tri = jax.lax.fori_loop(0, num_tiles, tile, init)
+    out_ref[0, :] = best_t
+    out_ref[1, :] = jax.lax.bitcast_convert_type(best_tri, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "num_tiles"))
+def trace_dense_pallas(origins, dirs, tris_packed, mode: int, num_tiles: int):
+    """origins/dirs [3, Npad] (Npad multiple of BLOCK_RAYS); tris_packed
+    [9, num_tiles*TRI_TILE]. Returns (best_t [Npad], best_tri [Npad])."""
+    n = origins.shape[1]
+    t_total = tris_packed.shape[1]
+    grid = (n // BLOCK_RAYS,)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, mode=mode, num_tiles=num_tiles),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, t_total), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, BLOCK_RAYS), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n) * int(t_total) * 45,
+            bytes_accessed=int(n) * 32 + 9 * int(t_total) * 4,
+            transcendentals=0),
+    )(origins, dirs, tris_packed)
+    best_t = out[0]
+    best_tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
+    return best_t, best_tri

@@ -1,22 +1,24 @@
-"""Batched BVH traversal — the TPU replacement for both the reference's SW
-stack-DFS kernel (mesh_traversal.cuh:118-222) and its OptiX HW path.
+"""Batched ray-mesh intersection — the TPU replacement for both the
+reference's SW stack-DFS kernel (mesh_traversal.cuh:118-222) and its OptiX
+HW path.
 
-Design: all rays advance in lockstep through a *stackless threaded DFS*. Each
-node stores a skip link (next subtree in DFS order); the traversal state per
-ray is just the current node id + best hit, so one loop iteration is a handful
-of gathers and [N]-wide vector ops — no per-lane stack, no scatter, fully
-uniform control flow. Early-out pruning against the running best-t is kept
-(node AABBs are tested with t_max = best_t, exactly like the reference's
-`intersectAabb(..., bestPi.t, ...)`).
+Two execution strategies, chosen at trace time by static mesh size:
 
-Layout: vectors are channel-major [3, N] and every gather pulls dense [N]
-(or [3, N]) slices — see ops/linalg.py for why lane-padding rules this.
+1. DENSE (meshes up to DENSE_MAX_TRIANGLES, e.g. the shells): every ray tests
+   every triangle in [ray-chunk x tri-chunk] tiles of pure vector math — no
+   gathers, no data-dependent loop, the VPU runs at full rate. On this
+   hardware XLA's gather throughput (~300M indices/s) makes O(N*T) dense work
+   FASTER than a gather-driven BVH walk up to tens of thousands of triangles.
 
-Trade-off vs the CUDA version: we lose near-child-first ordering (the DFS
-order is fixed at build time), which costs extra node visits, but every
-iteration is dense vector work instead of divergent warp lanes. The loop runs
-until the *slowest* ray finishes; rays that are done idle at node == -1.
+2. BVH threaded DFS (large meshes): all rays advance in lockstep through a
+   stackless skip-link walk. Per iteration each ray issues exactly TWO
+   gathers — one packed node row [11, Nn] and (for leaf phases) packed
+   triangle rows [9, T] — instead of 20+ separate takes; node ints ride the
+   same gather bitcast to f32. Early-out pruning against the running best-t
+   is kept (node AABBs test with t_max = best_t, like the reference's
+   `intersectAabb(..., bestPi.t, ...)`).
 
+All vectors are channel-major [3, N] (ops/linalg.py layout note).
 TraceMode facing culls (FORWARD_ONLY / BACKWARD_ONLY / ANY,
 mesh_traversal.cuh:96-111) are compile-time branches.
 """
@@ -28,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .intersect import _fetch_triangle, intersect_aabb, intersect_triangle
+from .intersect import intersect_aabb
 from .linalg import cross, dot
 
 # TraceMode (mesh_traversal.cuh:107-111)
@@ -37,6 +39,11 @@ FORWARD_ONLY = 1
 BACKWARD_ONLY = 2
 
 MIN_T = 1e-6  # fixed minimum hit distance (mesh_traversal.cuh:131)
+TRI_EPSILON = 1e-8
+
+# Dense path wins while N*T vector work beats gather-bound BVH walking.
+DENSE_MAX_TRIANGLES = 16384
+_DENSE_TRI_CHUNK = 512
 
 
 class TraceResult(NamedTuple):
@@ -57,25 +64,153 @@ def _miss(n):
     )
 
 
+def _mt_from_packed(origins, dirs, v0, e1, e2, mode: int):
+    """Möller-Trumbore on precomputed (v0, e1, e2) rows; operands broadcast
+    to a common [..., 3-major] shape. Returns (t, u, v, ok)."""
+    pvec = cross(dirs, e2)
+    det = dot(e1, pvec)
+    ok = jnp.abs(det) >= TRI_EPSILON
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    tvec = origins - v0
+    u = dot(tvec, pvec) * inv_det
+    ok &= (u >= 0.0) & (u <= 1.0)
+    qvec = cross(tvec, e1)
+    v = dot(dirs, qvec) * inv_det
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = dot(e2, qvec) * inv_det
+    ok &= t > TRI_EPSILON
+
+    if mode != ANY:
+        tri_n = cross(e1, e2)  # unnormalized geometric normal; sign suffices
+        facing = dot(tri_n, dirs)
+        if mode == FORWARD_ONLY:
+            ok &= facing < 0.0
+        else:  # BACKWARD_ONLY
+            ok &= facing > 0.0
+    return t, u, v, ok
+
+
 def trace_mesh(mesh, origins, dirs, mode: int = ANY,
                active=None) -> TraceResult:
-    """Closest-hit trace of [N] rays against one mesh's BVH.
+    """Closest-hit trace of [N] rays against one mesh.
 
     Args:
       mesh: MeshArrays.
       origins, dirs: [3, N] f32 (channel-major).
       mode: ANY / FORWARD_ONLY / BACKWARD_ONLY (static).
-      active: optional [N] bool — inactive rays skip traversal entirely
-        (they start at node -1); the masked-lane replacement for CUDA
-        stream compaction.
+      active: optional [N] bool — inactive rays skip work (masked lanes, the
+        replacement for CUDA stream compaction).
     """
     n = origins.shape[1]
     if mesh.is_empty:
         return _miss(n)
+    if mesh.num_triangles <= DENSE_MAX_TRIANGLES:
+        return _trace_dense(mesh, origins, dirs, mode, active)
+    return _trace_bvh(mesh, origins, dirs, mode, active)
 
-    # Safe reciprocal: avoids 0*inf NaNs in the slab test. CUDA's fminf
-    # ignores NaNs (returns the other operand); XLA's min propagates them, so
-    # we keep inv_dir finite instead.
+
+# ---------------------------------------------------------------------------
+# Dense path
+# ---------------------------------------------------------------------------
+
+def _trace_dense(mesh, origins, dirs, mode: int, active) -> TraceResult:
+    """All rays x all triangles — Pallas kernel on TPU, XLA tiles elsewhere.
+
+    Work per ray is O(T) but perfectly dense: no gathers, no data-dependent
+    control flow. On TPU the Pallas kernel (ops/trace_pallas.py) keeps the
+    triangle array in VMEM and the tiles in registers.
+    """
+    if jax.default_backend() == "tpu":
+        return _trace_dense_tpu(mesh, origins, dirs, mode, active)
+    return _trace_dense_xla(mesh, origins, dirs, mode, active)
+
+
+def _trace_dense_tpu(mesh, origins, dirs, mode: int, active) -> TraceResult:
+    from .trace_pallas import BLOCK_RAYS, TRI_TILE, trace_dense_pallas
+    n = origins.shape[1]
+    num_tris = mesh.indices.shape[1]
+    t_pad = -(-num_tris // TRI_TILE) * TRI_TILE
+    tp = mesh.tris_packed
+    if t_pad != num_tris:
+        tp = jnp.pad(tp, ((0, 0), (0, t_pad - num_tris)))
+    n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
+    o = origins
+    d = dirs
+    if n_pad != n:
+        o = jnp.pad(o, ((0, 0), (0, n_pad - n)))
+        d = jnp.pad(d, ((0, 0), (0, n_pad - n)))
+    best_t, best_tri = trace_dense_pallas(o, d, tp, mode, t_pad // TRI_TILE)
+    best_t = best_t[:n]
+    best_tri = jnp.clip(best_tri[:n], 0, num_tris - 1)
+    hit = best_t < 1e30
+    if active is not None:
+        hit &= active
+        best_t = jnp.where(hit, best_t, 1e30)
+    tb = jnp.take(mesh.tris_packed, best_tri, axis=1)
+    _, u, v, _ = _mt_from_packed(origins, dirs, tb[0:3], tb[3:6], tb[6:9], ANY)
+    return TraceResult(t=best_t, tri=best_tri,
+                       u=jnp.where(hit, u, 0.0), v=jnp.where(hit, v, 0.0),
+                       hit=hit)
+
+
+def _trace_dense_xla(mesh, origins, dirs, mode: int, active) -> TraceResult:
+    n = origins.shape[1]
+    num_tris = mesh.indices.shape[1]
+    chunk = min(_DENSE_TRI_CHUNK, max(1, num_tris))
+    num_chunks = -(-num_tris // chunk)
+    padded = num_chunks * chunk
+
+    tp = mesh.tris_packed
+    if padded != num_tris:
+        # Degenerate padding triangles (zero edges) never pass the det test.
+        tp = jnp.pad(tp, ((0, 0), (0, padded - num_tris)))
+
+    o = origins[:, :, None]   # [3, N, 1]
+    d = dirs[:, :, None]      # [3, N, 1]
+
+    def body(c, state):
+        best_t, best_tri = state
+        block = jax.lax.dynamic_slice(tp, (0, c * chunk), (9, chunk))
+        v0 = block[0:3][:, None, :]   # [3, 1, C]
+        e1 = block[3:6][:, None, :]
+        e2 = block[6:9][:, None, :]
+        t, _, _, ok = _mt_from_packed(o, d, v0, e1, e2, mode)  # [N, C]
+        t = jnp.where(ok & (t > MIN_T), t, 1e30)
+        # Pure reductions only (min + argmin); u/v are recomputed once at the
+        # end from the winning triangle so the hot loop issues NO gathers.
+        tc = jnp.min(t, axis=1)
+        ci = jnp.argmin(t, axis=1).astype(jnp.int32)
+        better = tc < best_t
+        best_t = jnp.where(better, tc, best_t)
+        best_tri = jnp.where(better, c * chunk + ci, best_tri)
+        return best_t, best_tri
+
+    init = (jnp.full((n,), 1e30, jnp.float32), jnp.zeros((n,), jnp.int32))
+    best_t, best_tri = jax.lax.fori_loop(0, num_chunks, body, init)
+
+    hit = best_t < 1e30
+    if active is not None:
+        hit &= active
+        best_t = jnp.where(hit, best_t, 1e30)
+
+    # Recompute u/v for the winners (identical arithmetic -> identical values).
+    tb = jnp.take(mesh.tris_packed,
+                  jnp.clip(best_tri, 0, num_tris - 1), axis=1)
+    _, u, v, _ = _mt_from_packed(origins, dirs, tb[0:3], tb[3:6], tb[6:9], ANY)
+    u = jnp.where(hit, u, 0.0)
+    v = jnp.where(hit, v, 0.0)
+    return TraceResult(t=best_t, tri=best_tri, u=u, v=v, hit=hit)
+
+
+# ---------------------------------------------------------------------------
+# BVH threaded-DFS path
+# ---------------------------------------------------------------------------
+
+def _trace_bvh(mesh, origins, dirs, mode: int, active) -> TraceResult:
+    n = origins.shape[1]
+
+    # Safe reciprocal: avoids 0*inf NaNs in the slab test (CUDA's fminf
+    # ignores NaNs; XLA's min propagates them).
     d_safe = jnp.where(jnp.abs(dirs) < 1e-30,
                        jnp.where(dirs < 0, -1e-30, 1e-30), dirs)
     inv_dirs = 1.0 / d_safe
@@ -97,30 +232,24 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
         live = node >= 0
         nidx = jnp.clip(node, 0, num_nodes - 1)
 
-        bmin = jnp.take(mesh.bvh_bounds_min, nidx, axis=1)  # [3, N]
-        bmax = jnp.take(mesh.bvh_bounds_max, nidx, axis=1)
+        g = jnp.take(mesh.nodes_packed, nidx, axis=1)  # [11, N] one gather
+        bmin, bmax = g[0:3], g[3:6]
+        left = jax.lax.bitcast_convert_type(g[6], jnp.int32)
+        skip = jax.lax.bitcast_convert_type(g[7], jnp.int32)
+        first = jax.lax.bitcast_convert_type(g[8], jnp.int32)
+        count = jax.lax.bitcast_convert_type(g[9], jnp.int32)
+        is_leaf = jax.lax.bitcast_convert_type(g[10], jnp.int32) != 0
+
         box_hit, _ = intersect_aabb(origins, inv_dirs, bmin, bmax, best_t)
         box_hit &= live
-
-        is_leaf = jnp.take(mesh.bvh_is_leaf, nidx) != 0
-        first = jnp.take(mesh.bvh_first, nidx)
-        count = jnp.take(mesh.bvh_count, nidx)
 
         process = box_hit & is_leaf
         for i in range(max_leaf):
             tri_idx = jnp.clip(first + i, 0, num_tris - 1)
             valid = process & (i < count)
-            v0, v1, v2, _ = _fetch_triangle(mesh, tri_idx)
-
-            if mode != ANY:
-                tri_n = cross(v1 - v0, v2 - v0)  # unnormalized; sign suffices
-                facing = dot(tri_n, dirs)
-                if mode == FORWARD_ONLY:
-                    valid &= facing < 0.0
-                else:  # BACKWARD_ONLY
-                    valid &= facing > 0.0
-
-            t, u, v, ok = intersect_triangle(origins, dirs, v0, v1, v2)
+            tb = jnp.take(mesh.tris_packed, tri_idx, axis=1)  # [9, N] one gather
+            t, u, v, ok = _mt_from_packed(origins, dirs, tb[0:3], tb[3:6],
+                                          tb[6:9], mode)
             better = valid & ok & (t > MIN_T) & (t < best_t)
             best_t = jnp.where(better, t, best_t)
             best_tri = jnp.where(better, tri_idx, best_tri)
@@ -128,8 +257,6 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
             best_v = jnp.where(better, v, best_v)
 
         descend = box_hit & ~is_leaf
-        left = jnp.take(mesh.bvh_left, nidx)
-        skip = jnp.take(mesh.bvh_skip, nidx)
         nxt = jnp.where(descend, left, skip)
         node = jnp.where(live, nxt, -1)
         return node, best_t, best_tri, best_u, best_v
@@ -145,8 +272,8 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
 
 
 def trace_mesh_brute(mesh, origins, dirs, mode: int = ANY) -> TraceResult:
-    """O(N*T) oracle: every ray against every triangle (fori over triangles,
-    vectorized over rays). Ground truth for the BVH path (SURVEY.md §7)."""
+    """O(N*T) oracle without chunk argmin tricks — ground truth for both
+    production paths (SURVEY.md §7)."""
     n = origins.shape[1]
     if mesh.is_empty:
         return _miss(n)
@@ -154,19 +281,12 @@ def trace_mesh_brute(mesh, origins, dirs, mode: int = ANY) -> TraceResult:
 
     def body(i, state):
         best_t, best_tri, best_u, best_v = state
-        tri_idx = jnp.full((n,), i, jnp.int32)
-        v0, v1, v2, _ = _fetch_triangle(mesh, tri_idx)
-        t, u, v, ok = intersect_triangle(origins, dirs, v0, v1, v2)
-        if mode != ANY:
-            tri_n = cross(v1 - v0, v2 - v0)
-            facing = dot(tri_n, dirs)
-            if mode == FORWARD_ONLY:
-                ok &= facing < 0.0
-            else:
-                ok &= facing > 0.0
+        col = jax.lax.dynamic_slice(mesh.tris_packed, (0, i), (9, 1))
+        v0, e1, e2 = col[0:3], col[3:6], col[6:9]
+        t, u, v, ok = _mt_from_packed(origins, dirs, v0, e1, e2, mode)
         better = ok & (t > MIN_T) & (t < best_t)
         return (jnp.where(better, t, best_t),
-                jnp.where(better, tri_idx, best_tri),
+                jnp.where(better, jnp.int32(i), best_tri),
                 jnp.where(better, u, best_u),
                 jnp.where(better, v, best_v))
 

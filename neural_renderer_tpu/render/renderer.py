@@ -174,10 +174,9 @@ class Renderer:
         return self._mesh_arrays("original_mesh")
 
     def _env_arrays(self):
+        import dataclasses
         env = self.scene.environment.to_arrays()
-        return env.__class__(pixels=env.pixels,
-                             rotation=jnp.float32(self.envmap_rotation),
-                             strength=env.strength, is_valid=env.is_valid)
+        return dataclasses.replace(env, rotation=jnp.float32(self.envmap_rotation))
 
     def _settings_key(self, cam_pos):
         return (tuple(np.round(np.asarray(cam_pos, np.float64), 5)),

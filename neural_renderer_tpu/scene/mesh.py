@@ -53,6 +53,14 @@ class MeshArrays:
     # (mesh_traversal.cuh:137-139) with a stackless scheme — uniform control
     # flow and no per-lane scatter, which is what the TPU VPU wants.
     bvh_skip: jnp.ndarray        # [N] i32 (-1 terminates traversal)
+    # Gather-packed mirrors: XLA TPU gathers pay a large per-call/per-index
+    # cost, so the traversal fetches ONE packed row per node / per triangle
+    # instead of 7+ separate takes.
+    # nodes_packed rows: 0-2 bmin, 3-5 bmax, 6 left, 7 skip, 8 first,
+    # 9 count, 10 is_leaf (int rows bitcast to f32).
+    nodes_packed: jnp.ndarray    # [11, N] f32
+    # tris_packed rows: 0-2 v0, 3-5 e1(=v1-v0), 6-8 e2(=v2-v0).
+    tris_packed: jnp.ndarray     # [9, T] f32
     # Materials (transposed: scalar/slot axis major, material axis minor)
     mat_scalars: jnp.ndarray   # [NUM_SCALARS, M] f32
     mat_tex_ids: jnp.ndarray   # [NUM_TEX_SLOTS, M] i32
@@ -218,6 +226,22 @@ class Mesh:
         has_normal_maps = (len(self.textures) > 0 and
                            any(m.normal.textured for m in self.materials))
 
+        nn = bvh.bounds_min.shape[0]
+        nodes_packed = np.zeros((11, nn), np.float32)
+        nodes_packed[0:3] = bvh.bounds_min.T
+        nodes_packed[3:6] = bvh.bounds_max.T
+        nodes_packed[6] = bvh.left.astype(np.int32).view(np.float32)
+        nodes_packed[7] = skip.astype(np.int32).view(np.float32)
+        nodes_packed[8] = bvh.first.astype(np.int32).view(np.float32)
+        nodes_packed[9] = bvh.count.astype(np.int32).view(np.float32)
+        nodes_packed[10] = bvh.is_leaf.astype(np.int32).view(np.float32)
+
+        tri = vertices[indices.astype(np.int64)]  # [T, 3, 3]
+        tris_packed = np.zeros((9, t), np.float32)
+        tris_packed[0:3] = tri[:, 0].T
+        tris_packed[3:6] = (tri[:, 1] - tri[:, 0]).T
+        tris_packed[6:9] = (tri[:, 2] - tri[:, 0]).T
+
         return MeshArrays(
             vertices=jnp.asarray(vertices.T, dtype),
             normals=jnp.asarray(normals.T, dtype),
@@ -232,6 +256,8 @@ class Mesh:
             bvh_count=jnp.asarray(bvh.count),
             bvh_is_leaf=jnp.asarray(bvh.is_leaf),
             bvh_skip=jnp.asarray(skip),
+            nodes_packed=jnp.asarray(nodes_packed),
+            tris_packed=jnp.asarray(tris_packed),
             mat_scalars=jnp.asarray(table.scalars.T, dtype),
             mat_tex_ids=jnp.asarray(table.tex_ids.T),
             mat_tex_chans=jnp.asarray(table.tex_chans.T),
