@@ -41,12 +41,17 @@ def _round_up(x: int, m: int) -> int:
 def _mlp_kernel(x_ref, w0_ref, w1_ref, w2_ref, w3_ref, wout_ref, out_ref):
     """One [BLOCK_N, 128] block through 4 hidden layers + linear output.
     Weights are [in(128), out(128)] blocks living in VMEM for the whole grid."""
+    # Pin DEFAULT precision: a global jax_default_matmul_precision='highest'
+    # would request an fp32-contract bf16 matmul Mosaic cannot lower.
+    prec = jax.lax.Precision.DEFAULT
     h = x_ref[:]
     for w_ref in (w0_ref, w1_ref, w2_ref, w3_ref):
-        a = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+        a = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32,
+                    precision=prec)
         a = jnp.where(a > 0, a, nbvh.LEAKY_SLOPE * a)
         h = a.astype(h.dtype)
-    out_ref[:] = jnp.dot(h, wout_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.dot(h, wout_ref[:], preferred_element_type=jnp.float32,
+                         precision=prec)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -118,11 +118,18 @@ def _trace_dense(mesh, origins, dirs, mode: int, active) -> TraceResult:
 
     Work per ray is O(T) but perfectly dense: no gathers, no data-dependent
     control flow. On TPU the Pallas kernel (ops/trace_pallas.py) keeps the
-    triangle array in VMEM and the tiles in registers.
+    triangle array in VMEM and the tiles in registers. Dispatch is per
+    lowering platform (lax.platform_dependent), so the same jitted program
+    works on CPU meshes (tests, multi-chip dry runs) and the TPU.
     """
-    if jax.default_backend() == "tpu":
+    def tpu_fn(origins, dirs):
         return _trace_dense_tpu(mesh, origins, dirs, mode, active)
-    return _trace_dense_xla(mesh, origins, dirs, mode, active)
+
+    def default_fn(origins, dirs):
+        return _trace_dense_xla(mesh, origins, dirs, mode, active)
+
+    return jax.lax.platform_dependent(origins, dirs, tpu=tpu_fn,
+                                      default=default_fn)
 
 
 def _trace_dense_tpu(mesh, origins, dirs, mode: int, active) -> TraceResult:

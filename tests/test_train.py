@@ -58,7 +58,7 @@ def test_bce_matches_reference_formula():
     got = np.asarray(bce_with_logits(logits, targets))
     p = 1.0 / (1.0 + np.exp(-np.asarray(logits)))
     want = -(np.asarray(targets) * np.log(p) + (1 - np.asarray(targets)) * np.log(1 - p))
-    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
 
 def test_losses_masking():
