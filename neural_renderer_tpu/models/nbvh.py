@@ -78,11 +78,19 @@ class NbvhConfig:
         return self.mlp_n_params + self.point_count * self.hg_n_params
 
 
-def init_params(key, config: NbvhConfig, dtype=jnp.float32):
-    """Random init: hash tables uniform(-1e-4,1e-4) (tcnn default), MLP He."""
+def init_params(key, config: NbvhConfig, dtype=jnp.float32,
+                shared_grid: bool = True):
+    """Random init: hash tables uniform(-1e-4,1e-4) (tcnn default), MLP He.
+
+    shared_grid=True (default) uses ONE hash grid for all encoder slots —
+    the structure the reference's flat checkpoint implies (a single grid
+    block tiled into all three slots, cuda_renderer_neural.cu:1764-1804), so
+    trained weights survive the blob export/load round trip. Independent
+    grids (shared_grid=False) give more capacity but only slot 0 exports.
+    """
     keys = jax.random.split(key, config.point_count + config.mlp_hidden_layers + 1)
-    grids = [init_hashgrid(keys[i], config.grid, dtype)
-             for i in range(config.point_count)]
+    n_grids = 1 if shared_grid else config.point_count
+    grids = [init_hashgrid(keys[i], config.grid, dtype) for i in range(n_grids)]
 
     mlp = []
     dims = ([config.encoded_dims]
@@ -104,9 +112,11 @@ def encode_inputs(params, inputs, config: NbvhConfig):
     materializes a lane-padded narrow array (ops/linalg.py layout note)."""
     from .encoding import hashgrid_encode_features, sh_encode_features
     feats = []
+    n_grids = len(params["grids"])
     for p in range(config.point_count):
         x = inputs[p * 3:(p + 1) * 3]
-        feats.extend(hashgrid_encode_features(params["grids"][p], x, config.grid))
+        grid = params["grids"][p % n_grids]  # shared grid when n_grids == 1
+        feats.extend(hashgrid_encode_features(grid, x, config.grid))
     feats.extend(sh_encode_features(inputs[config.point_count * 3:
                                            config.point_count * 3 + 3]))
     return jnp.stack(feats, axis=-1)
@@ -185,8 +195,10 @@ def load_flat_blob(path: str, config: NbvhConfig, swap_param_order: bool = True,
     else:
         mlp, hg = raw[:config.mlp_n_params], raw[config.mlp_n_params:]
     tables = _split_grid_blob(hg, config)
-    grids = [[jnp.asarray(t, dtype) for t in tables]
-             for _ in range(config.point_count)]
+    # The single grid block is SHARED across all encoder slots (the
+    # reference tiles one copy into each slot; sharing is equivalent and is
+    # also how training keeps the export lossless).
+    grids = [[jnp.asarray(t, dtype) for t in tables]]
     mlp_mats = [jnp.asarray(m, dtype) for m in _split_mlp_blob(mlp, config)]
     return {"grids": grids, "mlp": mlp_mats}
 

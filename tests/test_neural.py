@@ -135,10 +135,26 @@ def test_flat_blob_roundtrip(tmp_path):
     # MLP roundtrips (through fp16).
     for a, b in zip(params["mlp"], loaded["mlp"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
-    # Grid slot 0 is tiled into ALL slots.
-    for slot in range(3):
-        for a, b in zip(params["grids"][0], loaded["grids"][slot]):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # The single grid block is shared across all slots on load.
+    assert len(loaded["grids"]) == 1
+    for a, b in zip(params["grids"][0], loaded["grids"][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_shared_grid_export_is_lossless(tmp_path):
+    """The end-to-end guarantee behind training: with the default shared
+    grid, exporting to the reference blob and loading back must reproduce
+    the network function (up to fp16 storage), not just slot 0."""
+    cfg = nbvh.NbvhConfig()
+    params = nbvh.init_params(jax.random.PRNGKey(11), cfg)
+    assert len(params["grids"]) == 1
+    path = str(tmp_path / "w.bin")
+    nbvh.save_flat_blob(path, params, cfg)
+    loaded = nbvh.load_flat_blob(path, cfg)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(12, 32)), jnp.float32)
+    a = np.asarray(nbvh.apply(params, x, cfg, compute_dtype=jnp.float32))
+    b = np.asarray(nbvh.apply(loaded, x, cfg, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(a, b, atol=5e-3)
 
 
 def test_flat_blob_order_flag(tmp_path):
