@@ -87,7 +87,8 @@ def _shell_entry_from_rays(outer, origins, dirs, ray_active, pdfs):
 def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
                           ray_active=None, pdfs=None,
                           camera_rays: bool = True,
-                          compute_dtype=jnp.bfloat16) -> HitState:
+                          compute_dtype=jnp.bfloat16,
+                          compaction: bool | None = None) -> HitState:
     """Full multi-segment march; returns a HitState over [N] rays.
 
     `params` is the RenderParams block (material/constant-color settings,
@@ -110,47 +111,43 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         material_params=zero3,
         hit=jnp.zeros(n, bool), distance=jnp.zeros(n, jnp.float32))
 
-    mat_params_row = vec3(
-        jnp.broadcast_to(params.material_row[P_METALLIC], (n,)),
-        jnp.broadcast_to(params.material_row[P_ROUGHNESS], (n,)),
-        jnp.broadcast_to(params.material_row[P_SPECULAR], (n,)))
+    def segment_step(dirs_b, entry_b, active_b, accum_b):
+        """One march iteration over an arbitrary ray batch [*, K].
 
-    outer_min = params.outer_shell_min[:, None]
-    inv_extent = params.outer_shell_inv_extent[:, None]
-    const_color = splat(params.constant_neural_color, n)
-
-    def cond(state):
-        it, active, *_ = state
-        return (it < MAX_SEGMENT_ITERATIONS) & jnp.any(active)
-
-    def body(state):
-        (it, active, entry_pos, accum_t, out) = state
+        Returns (found, hit_pos, normal, color, distance, new_active,
+        new_entry, new_accum). Runs on the full batch OR on a compacted
+        prefix (the TPU replacement for compactInputsKernel,
+        cuda_renderer_neural.cu:1529-1541).
+        """
+        k = dirs_b.shape[1]
+        outer_min = params.outer_shell_min[:, None]
+        inv_extent = params.outer_shell_inv_extent[:, None]
 
         # 1. Segment exits (traceSegmentExitsKernel :858-930).
-        shifted_entry = entry_pos + dirs * SEGMENT_EPSILON
-        res_exit = traversal.trace_mesh(ctx.outer, shifted_entry, dirs,
-                                        traversal.BACKWARD_ONLY, active=active)
+        shifted_entry = entry_b + dirs_b * SEGMENT_EPSILON
+        res_exit = traversal.trace_mesh(ctx.outer, shifted_entry, dirs_b,
+                                        traversal.BACKWARD_ONLY, active=active_b)
         exit_t = jnp.where(res_exit.hit, res_exit.t, SEGMENT_EPSILON)
-        res_inner = traversal.trace_mesh(ctx.inner, shifted_entry, dirs,
-                                         traversal.ANY, active=active)
+        res_inner = traversal.trace_mesh(ctx.inner, shifted_entry, dirs_b,
+                                         traversal.ANY, active=active_b)
         inner_hit = res_inner.hit
         inner_t = jnp.where(inner_hit, res_inner.t, 1e30)
         inner_before = inner_hit & (inner_t < exit_t)
         seg_t = jnp.where(inner_before, inner_t, exit_t)
-        exit_pos = shifted_entry + dirs * seg_t[None, :]
+        exit_pos = shifted_entry + dirs_b * seg_t[None, :]
 
         # 2. Network inputs (buildSegmentNeuralInputsKernel :937-1001).
         norm_entry = (shifted_entry - outer_min) * inv_extent
         norm_exit = (exit_pos - outer_min) * inv_extent
         mid = 0.5 * (shifted_entry + exit_pos)
         norm_mid = (mid - outer_min) * inv_extent
-        dir01 = (dirs + 1.0) * 0.5
+        dir01 = (dirs_b + 1.0) * 0.5
         net_in = jnp.concatenate([norm_entry, norm_exit, norm_mid, dir01],
-                                 axis=0)  # [12, N]
+                                 axis=0)  # [12, K]
 
         # 3. Fused encode + MLP (tcnn inference, :2025-2032).
         outputs = nbvh.apply(ctx.net_params, net_in, ctx.config,
-                             compute_dtype=compute_dtype)  # [16, N]
+                             compute_dtype=compute_dtype)  # [16, K]
 
         # 4. Apply outputs (applySegmentNeuralOutputKernel :1007-1123).
         presence = outputs[0]
@@ -159,21 +156,42 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         color_raw = jnp.clip(outputs[5:8], 0.0, 1.0)
 
         neural_hit = presence >= 0.0
-        found = active & (neural_hit | inner_before)
+        found = active_b & (neural_hit | inner_before)
 
         clamped = jnp.where(inner_t > 0.0,
                             jnp.minimum(distance, inner_t - SEGMENT_EPSILON),
                             distance)
-        hit_pos = shifted_entry + dirs * clamped[None, :]
+        hit_pos = shifted_entry + dirs_b * clamped[None, :]
         normal = safe_normalize(normal_raw, min_len=1e-6)
 
         # outputStride >= 8 is always true (padded width 16), so the
         # reference's material-base-color fallback branch is unreachable:
         # constant color when requested, else the network's color slots.
-        color = jnp.where(params.use_constant_neural_color, const_color,
-                          color_raw)
+        color = jnp.where(params.use_constant_neural_color,
+                          splat(params.constant_neural_color, k), color_raw)
 
-        out = HitState(
+        # 5. Prepare next iteration (prepareNextIterationKernel :1456-1524).
+        still = active_b & ~found
+        shifted_exit = exit_pos + dirs_b * SEGMENT_EPSILON
+        res_re = traversal.trace_mesh(ctx.outer, shifted_exit, dirs_b,
+                                      traversal.FORWARD_ONLY, active=still)
+        can_continue = still & (res_re.hit | inner_hit)
+        reentry_t = jnp.where(res_re.hit, res_re.t, 0.0)
+        new_entry = shifted_exit + dirs_b * reentry_t[None, :]
+        new_entry = where3(can_continue, new_entry, entry_b)
+        new_accum = jnp.where(
+            can_continue, accum_b + exit_t + reentry_t + 2.0 * SEGMENT_EPSILON,
+            accum_b)
+        return (found, hit_pos, normal, color, distance, can_continue,
+                new_entry, new_accum)
+
+    mat_params_row = vec3(
+        jnp.broadcast_to(params.material_row[P_METALLIC], (n,)),
+        jnp.broadcast_to(params.material_row[P_ROUGHNESS], (n,)),
+        jnp.broadcast_to(params.material_row[P_SPECULAR], (n,)))
+
+    def merge_out(out, found, hit_pos, normal, color, distance):
+        return HitState(
             position=where3(found, hit_pos, out.position),
             normal=where3(found, normal, out.normal),
             albedo=where3(found, color, out.albedo),
@@ -181,20 +199,81 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
             hit=out.hit | found,
             distance=jnp.where(found, distance, out.distance),
         )
-        active = active & ~found
 
-        # 5. Prepare next iteration (prepareNextIterationKernel :1456-1524).
-        shifted_exit = exit_pos + dirs * SEGMENT_EPSILON
-        res_re = traversal.trace_mesh(ctx.outer, shifted_exit, dirs,
-                                      traversal.FORWARD_ONLY, active=active)
-        can_continue = active & (res_re.hit | inner_hit)
-        reentry_t = jnp.where(res_re.hit, res_re.t, 0.0)
-        new_entry = shifted_exit + dirs * reentry_t[None, :]
-        entry_pos = where3(can_continue, new_entry, entry_pos)
-        accum_t = jnp.where(can_continue,
-                            accum_t + exit_t + reentry_t + 2.0 * SEGMENT_EPSILON,
-                            accum_t)
-        active = can_continue
+    # Compaction capacity: when the active count fits, the iteration runs on
+    # a gathered prefix of this static size instead of the full batch.
+    k_cap = max(512, n // 8)
+    k_cap = min(k_cap, n)
+    use_compaction = (n >= 4096) if compaction is None else bool(compaction)
+
+    def cond(state):
+        it, active, *_ = state
+        return (it < MAX_SEGMENT_ITERATIONS) & jnp.any(active)
+
+    def body(state):
+        (it, active, entry_pos, accum_t, out) = state
+
+        def full_branch(operand):
+            active, entry_pos, accum_t, out = operand
+            (found, hit_pos, normal, color, distance, new_active, new_entry,
+             new_accum) = segment_step(dirs, entry_pos, active, accum_t)
+            out = merge_out(out, found, hit_pos, normal, color, distance)
+            return new_active, new_entry, new_accum, out
+
+        def compact_branch(operand):
+            active, entry_pos, accum_t, out = operand
+            count = jnp.sum(active.astype(jnp.int32))
+            # Out-of-range fill + mode='drop' scatters make padding slots
+            # inert; gathers clip (the clipped reads are discarded).
+            (idx,) = jnp.nonzero(active, size=k_cap, fill_value=n)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (k_cap, 1), 0)[:, 0]
+            valid = slot < count
+
+            dirs_k = jnp.take(dirs, idx, axis=1, mode="clip")
+            entry_k = jnp.take(entry_pos, idx, axis=1, mode="clip")
+            accum_k = jnp.take(accum_t, idx, mode="clip")
+
+            (found, hit_pos, normal, color, distance, new_active, new_entry,
+             new_accum) = segment_step(dirs_k, entry_k, valid, accum_k)
+            found &= valid
+            new_active &= valid
+
+            out = HitState(
+                position=out.position.at[:, idx].set(
+                    where3(found, hit_pos,
+                           jnp.take(out.position, idx, axis=1, mode="clip")),
+                    mode="drop"),
+                normal=out.normal.at[:, idx].set(
+                    where3(found, normal,
+                           jnp.take(out.normal, idx, axis=1, mode="clip")),
+                    mode="drop"),
+                albedo=out.albedo.at[:, idx].set(
+                    where3(found, color,
+                           jnp.take(out.albedo, idx, axis=1, mode="clip")),
+                    mode="drop"),
+                material_params=out.material_params.at[:, idx].set(
+                    where3(found, jnp.take(mat_params_row, idx, axis=1, mode="clip"),
+                           jnp.take(out.material_params, idx, axis=1, mode="clip")),
+                    mode="drop"),
+                hit=out.hit.at[idx].set(
+                    jnp.take(out.hit, idx, mode="clip") | found, mode="drop"),
+                distance=out.distance.at[idx].set(
+                    jnp.where(found, distance,
+                              jnp.take(out.distance, idx, mode="clip")),
+                    mode="drop"),
+            )
+            active2 = active.at[idx].set(new_active, mode="drop")
+            entry2 = entry_pos.at[:, idx].set(new_entry, mode="drop")
+            accum2 = accum_t.at[idx].set(new_accum, mode="drop")
+            return active2, entry2, accum2, out
+
+        operand = (active, entry_pos, accum_t, out)
+        if use_compaction:
+            count = jnp.sum(active.astype(jnp.int32))
+            active, entry_pos, accum_t, out = jax.lax.cond(
+                count <= k_cap, compact_branch, full_branch, operand)
+        else:
+            active, entry_pos, accum_t, out = full_branch(operand)
 
         return (it + 1, active, entry_pos, accum_t, out)
 

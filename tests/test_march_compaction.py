@@ -1,0 +1,57 @@
+"""Shell-march compaction: the fixed-capacity gathered path must be
+bit-identical to the full masked path (the TPU replacement for the
+reference's compactInputsKernel, cuda_renderer_neural.cu:1529-1541)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neural_renderer_tpu.models import nbvh
+from neural_renderer_tpu.render.neural_march import (
+    NeuralContext, trace_neural_segments)
+from neural_renderer_tpu.render.params import RenderParams
+from neural_renderer_tpu.scene.materials import Material
+
+from util import crafted_net_params, outward_sphere
+
+
+def test_compacted_march_matches_full():
+    outer = outward_sphere(12, 24, 1.2).to_arrays()
+    inner = outward_sphere(12, 24, 0.8).to_arrays()
+    cfg = nbvh.NbvhConfig(log2_hashmap_size=10, base_resolution=8, n_levels=2,
+                          mlp_width=32, mlp_hidden_layers=2)
+    net = nbvh.init_params(jax.random.PRNGKey(2), cfg)
+    ctx = NeuralContext(outer=outer, inner=inner, net_params=net, config=cfg)
+    omin = np.asarray(outer.bvh_bounds_min[:, 0])
+    omax = np.asarray(outer.bvh_bounds_max[:, 0])
+    params = RenderParams.make(
+        width=64, height=64, samples_per_pixel=1, max_bounces=1,
+        cam_pos=[0, 0, 3.0], cam_forward=[0, 0, -1.0], cam_right=[1, 0, 0.0],
+        cam_up=[0, 1, 0.0], fov_y=0.9, material=Material.default(),
+        scene_scale=2.0, outer_shell_min=omin,
+        outer_shell_inv_extent=1.0 / (omax - omin))
+
+    n = 4096
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(n, 3))
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 3.0
+    t = rng.normal(size=(n, 3)) * 0.5
+    d = t - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    oj = jnp.asarray(o.T, jnp.float32)
+    dj = jnp.asarray(d.T, jnp.float32)
+
+    a = trace_neural_segments(ctx, params, oj, dj, compute_dtype=jnp.float32,
+                              compaction=False)
+    b = trace_neural_segments(ctx, params, oj, dj, compute_dtype=jnp.float32,
+                              compaction=True)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    h = np.asarray(a.hit)
+    np.testing.assert_array_equal(np.asarray(a.position).T[h],
+                                  np.asarray(b.position).T[h])
+    np.testing.assert_array_equal(np.asarray(a.distance)[h],
+                                  np.asarray(b.distance)[h])
+    np.testing.assert_array_equal(np.asarray(a.albedo).T[h],
+                                  np.asarray(b.albedo).T[h])
+    assert h.sum() > 100
