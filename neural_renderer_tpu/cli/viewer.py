@@ -12,8 +12,9 @@ but display is either
 
 Runtime controls (interactive):
   w/a/s/d/q/e move, arrows look, shift faster
-  n neural toggle, l lambert toggle, b/B bounces -/+, p/P spp -/+,
-  x denoiser toggle, c print camera matrix JSON, o save PNG, esc quit
+  n neural toggle, l lambert toggle, b/shift+b bounces -/+,
+  p/shift+p spp -/+, x denoiser toggle, c print camera matrix JSON,
+  o save PNG, esc quit
 
 Usage: python -m neural_renderer_tpu.cli.viewer <config.json>
          [--headless N] [--output DIR] [--width W --height H]
@@ -133,8 +134,12 @@ def run_interactive(args):
             renderer.set_denoise(not renderer.denoise)
         elif k == "b":
             renderer.set_bounce_count(max(0, renderer.bounce_count - 1))
-        elif k == "B":
+        elif k == "shift+b":
             renderer.set_bounce_count(renderer.bounce_count + 1)
+        elif k == "p":
+            renderer.set_samples_per_pixel(max(1, renderer.samples_per_pixel - 1))
+        elif k == "shift+p":
+            renderer.set_samples_per_pixel(renderer.samples_per_pixel + 1)
         elif k == "c":
             m = camera_state_to_matrix(controller.camera.position,
                                        controller.camera.yaw,

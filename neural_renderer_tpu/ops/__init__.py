@@ -1,1 +1,2 @@
-from . import brdf, camera, envlight, intersect, linalg, rng, srgb, traversal
+from . import (brdf, camera, denoise, envlight, fused_network, intersect,
+               linalg, rng, srgb, trace_pallas, traversal)
