@@ -220,7 +220,7 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
             out = merge_out(out, found, hit_pos, normal, color, distance)
             return new_active, new_entry, new_accum, out
 
-        def compact_branch(operand):
+        def compact_branch(operand, k_cap):
             active, entry_pos, accum_t, out = operand
             count = jnp.sum(active.astype(jnp.int32))
             # Out-of-range fill + mode='drop' scatters make padding slots
@@ -269,9 +269,19 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
 
         operand = (active, entry_pos, accum_t, out)
         if use_compaction:
+            import functools
             count = jnp.sum(active.astype(jnp.int32))
+            # Two capacity tiers: later march iterations usually carry <1% of
+            # rays, so the small tier pays ~1/64 of the full-batch cost.
+            k_small = max(512, min(k_cap, n // 64))
             active, entry_pos, accum_t, out = jax.lax.cond(
-                count <= k_cap, compact_branch, full_branch, operand)
+                count <= k_small,
+                functools.partial(compact_branch, k_cap=k_small),
+                lambda op: jax.lax.cond(
+                    count <= k_cap,
+                    functools.partial(compact_branch, k_cap=k_cap),
+                    full_branch, op),
+                operand)
         else:
             active, entry_pos, accum_t, out = full_branch(operand)
 
