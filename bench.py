@@ -16,7 +16,11 @@ scaled-down CPU run of the identical program (rays/sec is resolution-
 independent for this masked pipeline).
 
 Env knobs: BENCH_WIDTH/BENCH_HEIGHT/BENCH_SPP/BENCH_BOUNCES/BENCH_FRAMES,
-BENCH_SKIP_CPU=1 to skip the CPU baseline measurement.
+BENCH_SKIP_CPU=1 to skip the CPU baseline measurement,
+BENCH_GRID=lane|tcnn (encoding variant; lane = TPU-native fused kernel,
+tcnn = reference-checkpoint-compatible layout),
+BENCH_ADDITIONAL_TRIS=N (hybrid additional mesh with ~N triangles; N>16384
+exercises the two-level clustered trace every frame).
 """
 
 from __future__ import annotations
@@ -45,7 +49,21 @@ def build_scene():
     original = outward(48, 96, 1.0)
     inner = outward(24, 48, 0.85)
     outer = outward(24, 48, 1.15)
-    return original, inner, outer
+
+    additional = None
+    add_tris = int(os.environ.get("BENCH_ADDITIONAL_TRIS", "0"))
+    if add_tris > 0:
+        # Hybrid-path workload: a large uncompressed mesh traced alongside
+        # the shell march every frame (traceAdditionalMesh* kernels; above
+        # 16384 tris this exercises the two-level clustered trace).
+        stacks = max(4, int((add_tris / 4) ** 0.5))
+        m = outward(stacks, 2 * stacks, 0.45)
+        verts = m.vertices.copy()
+        verts[:, 0] += 1.8  # beside the shelled object, in view
+        m.vertices = verts
+        m.mark_dirty()
+        additional = m
+    return original, inner, outer, additional
 
 
 def make_frame_fn(device, width, height, spp, bounces, compute_dtype):
@@ -60,15 +78,18 @@ def make_frame_fn(device, width, height, spp, bounces, compute_dtype):
     from neural_renderer_tpu.scene.materials import Material
     from neural_renderer_tpu.scene.mesh import Mesh
 
-    original, inner, outer = build_scene()
+    original, inner, outer, additional = build_scene()
 
     put = lambda tree: jax.device_put(tree, device)
     outer_a = put(outer.to_arrays())
     inner_a = put(inner.to_arrays())
-    add_a = put(Mesh().to_arrays())
+    use_additional = additional is not None
+    add_a = put((additional or Mesh()).to_arrays())
     env = put(EnvironmentMap().to_arrays())
 
-    cfg = nbvh.NbvhConfig()
+    grid = os.environ.get("BENCH_GRID", "lane")
+    cfg = (nbvh.NbvhConfig(grid_type="lane") if grid == "lane"
+           else nbvh.NbvhConfig())
     net_params = put(nbvh.init_params(jax.random.PRNGKey(0), cfg))
     ctx = NeuralContext(outer=outer_a, inner=inner_a, net_params=net_params,
                         config=cfg)
@@ -89,7 +110,7 @@ def make_frame_fn(device, width, height, spp, bounces, compute_dtype):
 
     def run(accum, sample_offset):
         p = dataclasses.replace(params, sample_offset=jnp.uint32(sample_offset))
-        return frame(ctx, add_a, env, p, accum, use_additional=False,
+        return frame(ctx, add_a, env, p, accum, use_additional=use_additional,
                      compute_dtype=compute_dtype)
 
     accum0 = jax.device_put(jnp.zeros((3, width * height), jnp.float32), device)
@@ -186,8 +207,11 @@ def main():
     if vs_baseline is None:
         vs_baseline = 1.0
 
+    grid = os.environ.get("BENCH_GRID", "lane")
+    add_tris = int(os.environ.get("BENCH_ADDITIONAL_TRIS", "0"))
+    extra = f"+add{add_tris}" if add_tris else ""
     print(json.dumps({
-        "metric": f"neural render Mrays/s @ {width}x{height} spp{spp} b{bounces} ({accel.platform})",
+        "metric": f"neural render Mrays/s @ {width}x{height} spp{spp} b{bounces} {grid}{extra} ({accel.platform})",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs_baseline, 3),

@@ -50,7 +50,9 @@ def main(argv=None) -> int:
 
     net_config = nbvh.NbvhConfig(
         log2_hashmap_size=cfg.neural_network.log2_hashmap_size,
-        base_resolution=cfg.neural_network.base_resolution)
+        base_resolution=cfg.neural_network.base_resolution,
+        grid_type=cfg.neural_network.grid_type,
+        lane_sublanes=cfg.neural_network.lane_sublanes)
     tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                        steps=args.steps, seed=args.seed,
                        log_every=args.log_every)
@@ -90,9 +92,18 @@ def main(argv=None) -> int:
     if args.ckpt_dir:
         path = save_checkpoint(args.ckpt_dir, state)
         print(f"final checkpoint: {path}")
-    out = args.out or (os.path.splitext(args.config)[0] + "_weights.bin")
-    export_reference_blob(out, state, net_config)
-    print(f"exported flat FP16 blob: {out}")
+    if net_config.grid_type == "lane":
+        # The reference blob format encodes the tcnn grid layout; lane-grid
+        # networks ship as orbax checkpoints (checkpoint_path pointing at the
+        # checkpoint dir is handled by the viewer/evaluate loaders).
+        if not args.ckpt_dir:
+            path = save_checkpoint(os.path.splitext(args.config)[0] + "_ckpt",
+                                   state)
+            print(f"final checkpoint: {path}")
+    else:
+        out = args.out or (os.path.splitext(args.config)[0] + "_weights.bin")
+        export_reference_blob(out, state, net_config)
+        print(f"exported flat FP16 blob: {out}")
     return 0
 
 

@@ -10,11 +10,16 @@ but display is either
   * headless: render N accumulation batches and write PNG frames — the mode
     that works over SSH and drives golden tests.
 
-Runtime controls (interactive):
+Runtime controls (interactive) — every reference ImGui control
+(viewer.cu:320-590) has a key:
   w/a/s/d/q/e move, arrows look, shift faster
   n neural toggle, l lambert toggle, b/shift+b bounces -/+,
-  p/shift+p spp -/+, x denoiser toggle, c print camera matrix JSON,
-  o save PNG, esc quit
+  p/shift+p spp -/+, x denoiser toggle, m classic-mesh cycle
+  (original/inner/outer), r/shift+r envmap rotation -/+15deg,
+  v/shift+v env strength x0.8/x1.25, g direct-env-color toggle,
+  f/shift+f FOV -/+0.05 rad, t per-kernel timing table (ns/ray + Mrays),
+  i mesh/BVH/network memory stats, c print camera matrix JSON,
+  o save PNG, h help, esc quit
 
 Usage: python -m neural_renderer_tpu.cli.viewer <config.json>
          [--headless N] [--output DIR] [--width W --height H]
@@ -94,6 +99,25 @@ def run_headless(args):
     return 0
 
 
+def profile_table(renderer, controller):
+    """Per-kernel timing table (the PROFILE_KERNELS ImGui table,
+    viewer.cu:520-590) for the current camera/settings."""
+    from ..render.profiler import profile_gt_frame, profile_neural_frame
+    from ..render.neural_march import NeuralContext
+    params = renderer._build_params(controller.camera.position)
+    env = renderer._env_arrays()
+    if renderer.use_neural_query and renderer.scene.outer_shell.num_triangles:
+        ctx = NeuralContext(outer=renderer._mesh_arrays("outer_shell"),
+                            inner=renderer._mesh_arrays("inner_shell"),
+                            net_params=renderer.net_params,
+                            config=renderer.net_config)
+        t = profile_neural_frame(ctx, renderer._mesh_arrays("additional_mesh"),
+                                 env, params)
+    else:
+        t = profile_gt_frame(renderer._classic_mesh(), env, params)
+    return t.table()
+
+
 def run_interactive(args):
     try:
         import matplotlib
@@ -148,6 +172,29 @@ def run_interactive(args):
                               "yfov": controller.camera.fov_y}))
         elif k == "o":
             save_png("viewer_capture.png", renderer.device_pixels())
+        elif k == "m":
+            renderer.set_classic_mesh_index((renderer.classic_mesh_index + 1) % 3)
+        elif k == "r":
+            renderer.set_envmap_rotation(renderer.envmap_rotation - 15.0)
+        elif k == "shift+r":
+            renderer.set_envmap_rotation(renderer.envmap_rotation + 15.0)
+        elif k == "v":
+            renderer.set_env_strength(renderer.env_strength * 0.8)
+        elif k == "shift+v":
+            renderer.set_env_strength(renderer.env_strength * 1.25)
+        elif k == "g":
+            renderer.set_direct_env_color(not renderer.use_direct_env_color,
+                                          renderer.direct_env_color)
+        elif k == "f":
+            controller.camera.fov_y = max(0.1, controller.camera.fov_y - 0.05)
+        elif k == "shift+f":
+            controller.camera.fov_y = min(3.0, controller.camera.fov_y + 0.05)
+        elif k == "t":
+            print(profile_table(renderer, controller))
+        elif k == "i":
+            print(json.dumps(renderer.memory_stats(), indent=2))
+        elif k == "h":
+            print(__doc__)
 
     def on_release(event):
         k = (event.key or "").lower()

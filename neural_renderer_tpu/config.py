@@ -71,6 +71,11 @@ class NeuralNetworkConfig:
     log2_hashmap_size: int = 14
     base_resolution: int = 16
     use_neural_query: bool = False
+    # Extension over the reference schema (config_loader.h:45-49): selects
+    # the TPU-native lane-local hash grid ("lane") instead of the
+    # tcnn-compatible one ("tcnn"); lane_sublanes*128 entries per table.
+    grid_type: str = "tcnn"
+    lane_sublanes: int = 8
 
 
 @dataclass
@@ -173,6 +178,8 @@ def load_config(config_path: str) -> RendererConfig:
             log2_hashmap_size=int(nn.get("log2_hashmap_size", 14)),
             base_resolution=int(nn.get("base_resolution", 16)),
             use_neural_query=bool(nn.get("use_neural_query", False)),
+            grid_type=str(nn.get("grid_type", "tcnn")),
+            lane_sublanes=int(nn.get("lane_sublanes", 8)),
         )
 
     return cfg

@@ -1,0 +1,120 @@
+"""Lane-local multiresolution hash grid — the TPU-native encoding variant.
+
+Why this exists: the tcnn-compatible hash grid (encoding.py) costs 192 XLA
+gathers per network call (3 points x 8 levels x 8 corners) at ~3 ns/index on
+this hardware — measured 473 ns/ray, the single largest cost in the neural
+frame (BASELINE.md). XLA's gather is per-index; Mosaic/Pallas TPU exposes a
+much cheaper primitive instead: `tpu.dynamic_gather` — a same-shape,
+within-vreg shuffle along lanes (128-entry lookup per op) or sublanes.
+
+This grid is DESIGNED around that primitive (not a tcnn port — compare
+/root/reference/src/cuda_renderer_neural.cu:1647-1675, which leans on the
+GPU's arbitrary-address HBM gathers):
+
+  * Each (point, level, feature) combo owns an independent table of
+    S x 128 entries, stored as an [S, 128] block: the LOW 7 hash bits select
+    a lane, the next log2(S) bits select a sublane row.
+  * A Pallas kernel (ops/lane_grid_kernel.py) keeps every table VMEM-resident
+    and does per-corner lookups with ONE broadcast-row lane-gather per
+    sublane row: `take_along_axis(broadcast(T[s]), lane_idx, axis=-1)`,
+    masked by `sub_idx == s`. The 8 trilinear corners ride the 8 sublanes of
+    one vreg, so a corner lookup for 128 rays is a single vector op.
+  * Hash: the same coherent prime xor tcnn uses ({1, 2654435761, 805459861},
+    grid.h) — only the table geometry changes, masked to S*128 entries.
+    All levels hash (no dense special case).
+
+This file holds the pure-JAX twin: the differentiable oracle used for
+training and on CPU (tests, multi-chip dry runs). The Pallas kernel is
+bit-compatible with it (same hash, same accumulation order) and is parity
+tested.
+
+Parameter layout: ONE array [P, L, F, S, 128] float32 — flattened to
+[P*L*F*S, 128] for the kernel. Feature order (must match the MLP input
+column order): point-major, then level, then feature; SH(16) appended by the
+caller (models/nbvh.py encode ordering).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+# tcnn grid.h coherent prime hash, as wrapped int32 (multiplication and xor
+# only depend on the low 32 bits, so int32 arithmetic reproduces uint32).
+PRIME_X = 1
+PRIME_Y = -1640531535   # 2654435761 as int32
+PRIME_Z = 805459861
+
+LANES = 128
+
+
+def level_scale(level: int, base_resolution: int, per_level_scale: float) -> float:
+    """tcnn grid scale: 2^(l*log2(pls)) * base - 1 (encoding.py semantics)."""
+    return (2.0 ** (level * math.log2(per_level_scale))
+            * base_resolution - 1.0)
+
+
+def hash_corner(cx, cy, cz, n_entries: int):
+    """int32 corner coords -> table index in [0, n_entries). n_entries must
+    be a power of two. Wrapping int32 arithmetic == uint32 low bits."""
+    h = (cx * jnp.int32(PRIME_X)
+         ^ cy * jnp.int32(PRIME_Y)
+         ^ cz * jnp.int32(PRIME_Z))
+    return h & jnp.int32(n_entries - 1)
+
+
+def init_lane_tables(key, n_points: int, n_levels: int, n_features: int,
+                     sublanes: int, dtype=jnp.float32):
+    """Uniform(-1e-4, 1e-4) like tcnn's grid init. [P, L, F, S, 128]."""
+    return jax.random.uniform(
+        key, (n_points, n_levels, n_features, sublanes, LANES),
+        minval=-1e-4, maxval=1e-4, dtype=dtype)
+
+
+def lane_encode_point_features(tables_p, x, base_resolution: int,
+                               per_level_scale: float):
+    """Encode ONE point through its per-point tables (XLA twin).
+
+    tables_p: [L, F, S, 128]; x: [3, N] in [0, 1].
+    Returns a list of L*F arrays [N] (level-major, feature within level) —
+    the same contract as encoding.hashgrid_encode_features.
+    """
+    n_levels, n_features, sublanes, lanes = tables_p.shape
+    n_entries = sublanes * lanes
+    outs = []
+    for level in range(n_levels):
+        scale = jnp.float32(level_scale(level, base_resolution, per_level_scale))
+        p = x * scale + 0.5
+        corner = jnp.floor(p)
+        w = p - corner
+        c0 = corner.astype(jnp.int32)
+
+        table_fe = tables_p[level].reshape(n_features, n_entries)
+        acc = 0.0
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    idx = hash_corner(c0[0] + dx, c0[1] + dy, c0[2] + dz,
+                                      n_entries)
+                    wx = w[0] if dx else (1.0 - w[0])
+                    wy = w[1] if dy else (1.0 - w[1])
+                    wz = w[2] if dz else (1.0 - w[2])
+                    wc = wx * wy * wz
+                    acc = acc + jnp.take(table_fe, idx, axis=1) * wc[None, :]
+        outs.extend(acc[f] for f in range(n_features))
+    return outs
+
+
+def lane_encode_features(tables, inputs, base_resolution: int,
+                         per_level_scale: float):
+    """All points. tables: [P, L, F, S, 128]; inputs: [3P(+...), N]
+    channel-major, point p at rows [3p, 3p+3). Returns list of P*L*F [N]."""
+    n_points = tables.shape[0]
+    feats = []
+    for p in range(n_points):
+        feats.extend(lane_encode_point_features(
+            tables[p], inputs[p * 3:(p + 1) * 3],
+            base_resolution, per_level_scale))
+    return feats

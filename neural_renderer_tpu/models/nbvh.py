@@ -46,6 +46,12 @@ class NbvhConfig:
     mlp_hidden_layers: int = 4
     output_dims: int = 5
     padded_output_dims: int = 16
+    # "tcnn": reference-compatible hash grid (checkpoint parity, XLA gathers).
+    # "lane": TPU-native lane-local grid (models/lane_grid.py) — per
+    # (point, level, feature) tables of lane_sublanes*128 entries, served by
+    # the fully fused Pallas kernel (ops/lane_grid_kernel.py) at inference.
+    grid_type: str = "tcnn"
+    lane_sublanes: int = 8
 
     @property
     def input_dims(self) -> int:
@@ -77,6 +83,11 @@ class NbvhConfig:
     def n_params(self) -> int:
         return self.mlp_n_params + self.point_count * self.hg_n_params
 
+    @property
+    def lane_entries(self) -> int:
+        """Entries per (point, level, feature) table in lane-grid mode."""
+        return self.lane_sublanes * 128
+
 
 def init_params(key, config: NbvhConfig, dtype=jnp.float32,
                 shared_grid: bool = True):
@@ -89,8 +100,15 @@ def init_params(key, config: NbvhConfig, dtype=jnp.float32,
     grids (shared_grid=False) give more capacity but only slot 0 exports.
     """
     keys = jax.random.split(key, config.point_count + config.mlp_hidden_layers + 1)
-    n_grids = 1 if shared_grid else config.point_count
-    grids = [init_hashgrid(keys[i], config.grid, dtype) for i in range(n_grids)]
+    if config.grid_type == "lane":
+        from .lane_grid import init_lane_tables
+        lane = init_lane_tables(keys[0], config.point_count, config.n_levels,
+                                config.n_features, config.lane_sublanes, dtype)
+        grids = None
+    else:
+        n_grids = 1 if shared_grid else config.point_count
+        grids = [init_hashgrid(keys[i], config.grid, dtype)
+                 for i in range(n_grids)]
 
     mlp = []
     dims = ([config.encoded_dims]
@@ -102,6 +120,8 @@ def init_params(key, config: NbvhConfig, dtype=jnp.float32,
         w = jax.random.normal(keys[config.point_count + i],
                               (dims[i + 1], dims[i]), dtype) * std
         mlp.append(w)
+    if config.grid_type == "lane":
+        return {"lane": lane, "mlp": mlp}
     return {"grids": grids, "mlp": mlp}
 
 
@@ -112,11 +132,17 @@ def encode_inputs(params, inputs, config: NbvhConfig):
     materializes a lane-padded narrow array (ops/linalg.py layout note)."""
     from .encoding import hashgrid_encode_features, sh_encode_features
     feats = []
-    n_grids = len(params["grids"])
-    for p in range(config.point_count):
-        x = inputs[p * 3:(p + 1) * 3]
-        grid = params["grids"][p % n_grids]  # shared grid when n_grids == 1
-        feats.extend(hashgrid_encode_features(grid, x, config.grid))
+    if config.grid_type == "lane":
+        from .lane_grid import lane_encode_features
+        feats.extend(lane_encode_features(
+            params["lane"], inputs, config.base_resolution,
+            config.per_level_scale))
+    else:
+        n_grids = len(params["grids"])
+        for p in range(config.point_count):
+            x = inputs[p * 3:(p + 1) * 3]
+            grid = params["grids"][p % n_grids]  # shared when n_grids == 1
+            feats.extend(hashgrid_encode_features(grid, x, config.grid))
     feats.extend(sh_encode_features(inputs[config.point_count * 3:
                                            config.point_count * 3 + 3]))
     return jnp.stack(feats, axis=-1)
@@ -139,9 +165,30 @@ def mlp_forward(mlp_params, x, compute_dtype=jnp.bfloat16):
     return h.astype(jnp.float32).T
 
 
-def apply(params, inputs, config: NbvhConfig, compute_dtype=jnp.bfloat16):
+def apply(params, inputs, config: NbvhConfig, compute_dtype=jnp.bfloat16,
+          use_kernel: bool = False):
     """Full forward: [12, N] -> [padded_output_dims, N] f32 (channel-major:
-    row 0 = presence logit, 1 = distance, 2:5 = normal, 5:8 = color)."""
+    row 0 = presence logit, 1 = distance, 2:5 = normal, 5:8 = color).
+
+    use_kernel=True routes TPU lowerings of lane-grid networks through the
+    fully fused Pallas kernel (inference only — not differentiable; training
+    keeps use_kernel=False and differentiates this XLA path, mirroring the
+    reference where tcnn inference_mixed_precision is likewise
+    inference-only). Non-TPU platforms fall back to the XLA path."""
+    if (use_kernel and config.grid_type == "lane"
+            and compute_dtype == jnp.bfloat16):
+        from ..ops.lane_grid_kernel import forward_lane
+
+        def tpu_fn(params, inputs):
+            return forward_lane(params, inputs, config)
+
+        def default_fn(params, inputs):
+            encoded = encode_inputs(params, inputs, config)
+            return mlp_forward(params["mlp"], encoded,
+                               compute_dtype=jnp.bfloat16)
+
+        return jax.lax.platform_dependent(params, inputs, tpu=tpu_fn,
+                                          default=default_fn)
     encoded = encode_inputs(params, inputs, config)
     return mlp_forward(params["mlp"], encoded, compute_dtype=compute_dtype)
 
@@ -183,6 +230,10 @@ def load_flat_blob(path: str, config: NbvhConfig, swap_param_order: bool = True,
     (cuda_renderer_neural.cu:1752-1808): [mlp | hg] or, with
     swap_param_order (the default there too), [hg | mlp]; the single hash
     grid block is tiled into all point_count encoder slots."""
+    if config.grid_type == "lane":
+        raise ValueError(
+            "The reference flat-FP16 blob encodes the tcnn grid layout; "
+            "lane-grid networks checkpoint via orbax (train/trainer.py).")
     raw = np.fromfile(path, dtype=np.float16)
     expected = config.mlp_n_params + config.hg_n_params
     if raw.size != expected:
@@ -206,6 +257,10 @@ def load_flat_blob(path: str, config: NbvhConfig, swap_param_order: bool = True,
 def save_flat_blob(path: str, params, config: NbvhConfig,
                    swap_param_order: bool = True, grid_slot: int = 0):
     """Export to the reference's flat FP16 format (one hash grid slot)."""
+    if "grids" not in params:
+        raise ValueError(
+            "Only tcnn-layout networks export to the reference blob format; "
+            "lane-grid networks checkpoint via orbax (train/trainer.py).")
     hg = np.concatenate([np.asarray(t, np.float32).reshape(-1)
                          for t in params["grids"][grid_slot]])
     mlp = np.concatenate([np.asarray(m, np.float32).reshape(-1)

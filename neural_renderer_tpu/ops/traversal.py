@@ -106,7 +106,15 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
         return _miss(n)
     if mesh.num_triangles <= DENSE_MAX_TRIANGLES:
         return _trace_dense(mesh, origins, dirs, mode, active)
-    return _trace_bvh(mesh, origins, dirs, mode, active)
+
+    def tpu_fn(origins, dirs):
+        return _trace_two_level(mesh, origins, dirs, mode, active)
+
+    def default_fn(origins, dirs):
+        return _trace_bvh(mesh, origins, dirs, mode, active)
+
+    return jax.lax.platform_dependent(origins, dirs, tpu=tpu_fn,
+                                      default=default_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +215,66 @@ def _trace_dense_xla(mesh, origins, dirs, mode: int, active) -> TraceResult:
     u = jnp.where(hit, u, 0.0)
     v = jnp.where(hit, v, 0.0)
     return TraceResult(t=best_t, tri=best_tri, u=u, v=v, hit=hit)
+
+
+# ---------------------------------------------------------------------------
+# Two-level clustered dense path (large meshes, TPU)
+# ---------------------------------------------------------------------------
+
+def _trace_two_level(mesh, origins, dirs, mode: int, active) -> TraceResult:
+    """Cluster-AABB shortlist + per-cluster dense Pallas sweep
+    (ops/trace_cluster.py); rays in blocks whose shortlist overflowed are
+    re-traced by the BVH walk (usually zero rays -> the masked while_loop
+    exits immediately). Replaces the role of OptiX GAS for >16k-tri meshes."""
+    from . import trace_cluster as tc
+
+    n = origins.shape[1]
+    num_tris = mesh.indices.shape[1]
+
+    n_pad = -(-n // tc.BLOCK_RAYS) * tc.BLOCK_RAYS
+    o, d = origins, dirs
+    act_pad = active
+    if n_pad != n:
+        o = jnp.pad(o, ((0, 0), (0, n_pad - n)))
+        d = jnp.pad(d, ((0, 0), (0, n_pad - n)))
+        if active is not None:
+            act_pad = jnp.pad(active, (0, n_pad - n))
+        else:
+            # Padding rays are all-zero (degenerate); they can still pass a
+            # clamped slab test, so mask them out of the cluster shortlists.
+            act_pad = jnp.pad(jnp.ones((n,), bool), (0, n_pad - n))
+
+    c = mesh.cluster_bounds.shape[1]
+    t_pad = c * tc.CLUSTER_SIZE
+    tp = mesh.tris_packed
+    if t_pad != num_tris:
+        tp = jnp.pad(tp, ((0, 0), (0, t_pad - num_tris)))
+
+    mask = tc._block_cluster_mask(o, d, mesh.cluster_bounds, act_pad)
+    ids, counts, overflow = tc._shortlists(mask)
+    best_t, best_tri = tc.trace_clusters_pallas(
+        o, d, tp, ids.reshape(-1), counts, mode, ids.shape[1])
+    best_t = best_t[:n]
+    best_tri = jnp.clip(best_tri[:n], 0, num_tris - 1)
+
+    # Exactness fallback: rays in overflowed blocks walk the BVH (active-
+    # masked; zero-iteration when nothing overflowed).
+    over_rays = jnp.repeat(overflow, tc.BLOCK_RAYS)[:n]
+    if active is not None:
+        over_rays &= active
+    walk = _trace_bvh(mesh, origins, dirs, mode, over_rays)
+    best_t = jnp.where(over_rays, walk.t, best_t)
+    best_tri = jnp.where(over_rays, walk.tri, best_tri)
+
+    hit = best_t < 1e30
+    if active is not None:
+        hit &= active
+        best_t = jnp.where(hit, best_t, 1e30)
+    tb = jnp.take(mesh.tris_packed, best_tri, axis=1)
+    _, u, v, _ = _mt_from_packed(origins, dirs, tb[0:3], tb[3:6], tb[6:9], ANY)
+    return TraceResult(t=best_t, tri=best_tri,
+                       u=jnp.where(hit, u, 0.0), v=jnp.where(hit, v, 0.0),
+                       hit=hit)
 
 
 # ---------------------------------------------------------------------------

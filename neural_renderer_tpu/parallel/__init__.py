@@ -3,6 +3,7 @@ from .shardings import (
     make_mesh,
     psnr_tiled,
     render_gt_frame_tiled,
+    render_neural_frame_tiled,
     shard_params_spec,
     shard_train_state,
 )

@@ -72,6 +72,38 @@ def render_gt_frame_tiled(mesh_arrays, env, params, accum, mesh: Mesh,
     return img, acc.reshape(3, -1)
 
 
+def render_neural_frame_tiled(ctx, additional_mesh, env, params, accum,
+                              mesh: Mesh, axis: str = "dp",
+                              use_additional: bool = False,
+                              compute_dtype=jnp.bfloat16):
+    """NEURAL frame (shell march + bounces) with pixel rows sharded across
+    `axis` — the flagship path's multi-chip story. Global pixel-id RNG makes
+    the stripe render bit-identical to the single-chip frame; shell meshes
+    and network weights are replicated (they're small), pixels are the DP
+    axis, and the only collective is the output all-gather XLA inserts."""
+    n_shards = mesh.shape[axis]
+    h, w = params.height, params.width
+    assert h % n_shards == 0, f"height {h} not divisible by {n_shards} shards"
+    rows_per = h // n_shards
+
+    accum_img = accum.reshape(3, h, w)
+
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(), P(), P(), P(None, axis, None)),
+             out_specs=(P(axis, None, None), P(None, axis, None)))
+    def shard_fn(ctx_a, add_a, env_a, params_a, accum_shard):
+        row0 = jax.lax.axis_index(axis) * rows_per
+        from ..render.neural_frame import render_neural_frame
+        img, acc = render_neural_frame(
+            ctx_a, add_a, env_a, params_a, accum_shard.reshape(3, -1),
+            use_additional=use_additional, compute_dtype=compute_dtype,
+            row0=row0, n_rows=rows_per)
+        return img, acc.reshape(3, rows_per, w)
+
+    img, acc = shard_fn(ctx, additional_mesh, env, params, accum_img)
+    return img, acc.reshape(3, -1)
+
+
 def psnr_tiled(ref_u8, test_u8, mesh: Mesh, axis: str = "dp"):
     """Distributed PSNR: per-shard squared-error sums reduced with psum —
     the metric-reduction collective pattern (SURVEY.md §2.4)."""
@@ -113,10 +145,17 @@ def shard_params_spec(params) -> dict:
         return P("tp", None)            # hidden [width, width]
 
     n_layers = len(params["mlp"])
-    return {
-        "grids": [[grid_spec(t) for t in grid] for grid in params["grids"]],
+    spec = {
         "mlp": [mlp_spec(i, w, n_layers) for i, w in enumerate(params["mlp"])],
     }
+    if "lane" in params:
+        # Lane grid [P, L, F, S, 128]: shard the sublane-row axis over 'tp'
+        # (lane_sublanes is a power of two >= tp in practice).
+        spec["lane"] = P(None, None, None, "tp", None)
+    else:
+        spec["grids"] = [[grid_spec(t) for t in grid]
+                         for grid in params["grids"]]
+    return spec
 
 
 def shard_train_state(state, mesh: Mesh):

@@ -13,21 +13,113 @@ All one jitted program per static config.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..ops import traversal
+from ..ops.linalg import where3
 from . import pathtrace as pt
 from .neural_march import NeuralContext, check_bounce_early_termination, \
     trace_neural_segments
 
 
+def _bounce_stage(ctx, params, additional_mesh, use_additional, compute_dtype,
+                  rays: "pt.BounceRays", active):
+    """Everything between sampling and integration for one bounce: early
+    termination + shell march + additional-mesh merge. Runs on any batch
+    width, so the caller can feed a compacted prefix."""
+    active = check_bounce_early_termination(ctx.outer, ctx.inner, params,
+                                            rays, active)
+    hits = trace_neural_segments(
+        ctx, params, rays.origin, rays.direction, ray_active=active,
+        pdfs=rays.pdf, camera_rays=False, compute_dtype=compute_dtype)
+    if use_additional and not additional_mesh.is_empty:
+        add_hits = pt.trace_rays_mesh(additional_mesh, params, rays.origin,
+                                      rays.direction, traversal.ANY,
+                                      active=rays.pdf > 0.0)
+        hits = pt.select_closest_hits(params, hits, add_hits, rays.origin)
+    return hits, active
+
+
+def _bounce_stage_compacted(ctx, params, additional_mesh, use_additional,
+                            compute_dtype, rays, path_active,
+                            compaction=None):
+    """Fixed-capacity compaction around the WHOLE bounce stage: the bounce
+    marches and early-termination traces were the last full-batch work after
+    the in-march compaction (BASELINE.md roadmap) — active bounce rays are
+    typically <=30% after the primary hit mask and Russian roulette, so the
+    stage runs on a gathered prefix whenever the count fits a tier.
+    Bit-exact: the per-ray math is batch-position independent."""
+    n = rays.origin.shape[1]
+    mask = path_active & (rays.pdf > 0.0)
+    stage = functools.partial(_bounce_stage, ctx, params, additional_mesh,
+                              use_additional, compute_dtype)
+
+    use = (n >= 4096) if compaction is None else bool(compaction)
+    if not use:
+        return stage(rays, mask)
+
+    count = jnp.sum(mask.astype(jnp.int32))
+    miss = pt.HitState(
+        position=jnp.zeros((3, n), jnp.float32),
+        normal=jnp.zeros((3, n), jnp.float32),
+        albedo=jnp.zeros((3, n), jnp.float32),
+        material_params=jnp.zeros((3, n), jnp.float32),
+        hit=jnp.zeros((n,), bool),
+        distance=jnp.zeros((n,), jnp.float32))
+
+    def full(_):
+        return stage(rays, mask)
+
+    def prefix(k, _):
+        (idx,) = jnp.nonzero(mask, size=k, fill_value=n)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
+        valid = slot < count
+        rays_k = pt.BounceRays(
+            origin=jnp.take(rays.origin, idx, axis=1, mode="clip"),
+            direction=jnp.take(rays.direction, idx, axis=1, mode="clip"),
+            pdf=jnp.where(valid, jnp.take(rays.pdf, idx, mode="clip"), 0.0),
+            brdf_weight=jnp.take(rays.brdf_weight, idx, axis=1, mode="clip"),
+            distance=jnp.take(rays.distance, idx, mode="clip"))
+        hits_k, act_k = stage(rays_k, valid)
+        hits = pt.HitState(
+            position=miss.position.at[:, idx].set(
+                where3(valid, hits_k.position, 0.0), mode="drop"),
+            normal=miss.normal.at[:, idx].set(
+                where3(valid, hits_k.normal, 0.0), mode="drop"),
+            albedo=miss.albedo.at[:, idx].set(
+                where3(valid, hits_k.albedo, 0.0), mode="drop"),
+            material_params=miss.material_params.at[:, idx].set(
+                where3(valid, hits_k.material_params, 0.0), mode="drop"),
+            hit=miss.hit.at[idx].set(hits_k.hit & valid, mode="drop"),
+            distance=miss.distance.at[idx].set(
+                jnp.where(valid, hits_k.distance, 0.0), mode="drop"))
+        active = jnp.zeros((n,), bool).at[idx].set(act_k & valid, mode="drop")
+        return hits, active
+
+    k_half = max(512, n // 2)
+    k_eighth = max(512, n // 8)
+    return jax.lax.cond(
+        count <= k_eighth, functools.partial(prefix, k_eighth),
+        lambda op: jax.lax.cond(count <= k_half,
+                                functools.partial(prefix, k_half), full, op),
+        0)
+
+
 def render_neural_frame(ctx: NeuralContext, additional_mesh, env, params, accum,
                         use_additional: bool = False,
                         compute_dtype=jnp.bfloat16,
-                        return_guides: bool = False):
+                        return_guides: bool = False,
+                        bounce_compaction: bool | None = None,
+                        row0=0, n_rows=None):
     """One accumulation batch of neural path tracing.
-    Returns (image_u8, new_accum)[, (guide_normals, guide_albedo)]."""
-    pixel_idx, sample_of, _, origins, dirs = pt.primary_rays(params)
+    Returns (image_u8, new_accum)[, (guide_normals, guide_albedo)].
+    row0/n_rows render a horizontal stripe with GLOBAL pixel ids (tile data
+    parallelism, parallel/shardings.py); accum covers just that stripe."""
+    pixel_idx, sample_of, _, origins, dirs = pt.primary_rays(params, row0,
+                                                             n_rows)
 
     hits = trace_neural_segments(ctx, params, origins, dirs, camera_rays=True,
                                  compute_dtype=compute_dtype)
@@ -46,20 +138,12 @@ def render_neural_frame(ctx: NeuralContext, additional_mesh, env, params, accum,
                                            cur_hits, path.active, incoming)
         path = pt.update_active_after_sampling(path, cur_hits, rays)
 
-        active = check_bounce_early_termination(ctx.outer, ctx.inner, params,
-                                                rays, path.active)
+        # Early termination + shell march + hybrid merge run on a compacted
+        # active-ray prefix when the count fits a tier (bit-exact vs full).
+        bounce_hits, active = _bounce_stage_compacted(
+            ctx, params, additional_mesh, use_additional, compute_dtype,
+            rays, path.active, compaction=bounce_compaction)
         path = path._replace(active=active)
-
-        bounce_hits = trace_neural_segments(
-            ctx, params, rays.origin, rays.direction, ray_active=path.active,
-            pdfs=rays.pdf, camera_rays=False, compute_dtype=compute_dtype)
-
-        if use_additional and not additional_mesh.is_empty:
-            add_hits = pt.trace_rays_mesh(
-                additional_mesh, params, rays.origin, rays.direction,
-                traversal.ANY, active=rays.pdf > 0.0)
-            bounce_hits = pt.select_closest_hits(params, bounce_hits, add_hits,
-                                                 rays.origin)
 
         path = pt.integrate_bounce(params, env, path, bounce_hits, rays,
                                    bounce, pixel_idx, sample_of)
@@ -68,7 +152,7 @@ def render_neural_frame(ctx: NeuralContext, additional_mesh, env, params, accum,
 
     img, new_accum = pt.finalize(params, path.radiance, accum)
     if return_guides:
-        return img, new_accum, pt.guide_buffers(params, hits)
+        return img, new_accum, pt.guide_buffers(params, hits, n_rows)
     return img, new_accum
 
 

@@ -147,7 +147,8 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
 
         # 3. Fused encode + MLP (tcnn inference, :2025-2032).
         outputs = nbvh.apply(ctx.net_params, net_in, ctx.config,
-                             compute_dtype=compute_dtype)  # [16, K]
+                             compute_dtype=compute_dtype,
+                             use_kernel=True)  # [16, K]; inference-only path
 
         # 4. Apply outputs (applySegmentNeuralOutputKernel :1007-1123).
         presence = outputs[0]

@@ -162,7 +162,8 @@ def profile_neural_frame(ctx, additional_mesh, env, params, accum=None,
     # worth of MLP work.
     net_in = jnp.zeros((ctx.config.input_dims, n), jnp.float32)
     fwd = jax.jit(lambda p, x: nbvh.apply(p, x, ctx.config,
-                                          compute_dtype=compute_dtype))
+                                          compute_dtype=compute_dtype,
+                                          use_kernel=True))
     _, ms = _timed(fwd, ctx.net_params, net_in, runs=runs)
     t.ms["neuralForward"] = ms
     t.neural_ray_calls = n  # one march iteration per ray, lower bound

@@ -42,7 +42,9 @@ class Renderer:
         nn_config = nn_config or NeuralNetworkConfig()
         self.net_config = nbvh.NbvhConfig(
             log2_hashmap_size=nn_config.log2_hashmap_size,
-            base_resolution=nn_config.base_resolution)
+            base_resolution=nn_config.base_resolution,
+            grid_type=nn_config.grid_type,
+            lane_sublanes=nn_config.lane_sublanes)
         # Reference zero-initialises and expects a checkpoint load
         # (cudaMemset, cuda_renderer_neural.cu:1698).
         self.net_params = jax.tree_util.tree_map(
@@ -57,6 +59,7 @@ class Renderer:
         self.classic_mesh_index = 0
         self.use_additional_mesh = True
         self.envmap_rotation = scene.environment.rotation
+        self.env_strength = scene.environment.strength
         self.use_constant_neural_color = False
         self.constant_neural_color = (0.8, 0.8, 0.8)
         self.use_direct_env_color = False
@@ -118,6 +121,9 @@ class Renderer:
     def set_envmap_rotation(self, deg: float):
         self.envmap_rotation = float(deg)
 
+    def set_env_strength(self, strength: float):
+        self.env_strength = max(0.0, float(strength))
+
     def set_use_additional_mesh(self, v: bool):
         self.use_additional_mesh = bool(v)
 
@@ -143,7 +149,17 @@ class Renderer:
         return self._accum_sample_count
 
     def load_weights_from_file(self, path: str, swap_param_order: bool = True) -> bool:
+        """Flat FP16 blob (reference format) for tcnn grids; an orbax
+        checkpoint DIRECTORY (train/trainer.py save_checkpoint layout) loads
+        either grid type — lane-grid networks have no blob format."""
+        import os as _os
         try:
+            if _os.path.isdir(path):
+                from ..train.trainer import TrainConfig, restore_checkpoint
+                state = restore_checkpoint(path, TrainConfig(),
+                                           self.net_config)
+                self.net_params = state.params
+                return True
             self.net_params = nbvh.load_flat_blob(
                 path, self.net_config, swap_param_order=swap_param_order)
             return True
@@ -176,7 +192,9 @@ class Renderer:
     def _env_arrays(self):
         import dataclasses
         env = self.scene.environment.to_arrays()
-        return dataclasses.replace(env, rotation=jnp.float32(self.envmap_rotation))
+        return dataclasses.replace(env,
+                                   rotation=jnp.float32(self.envmap_rotation),
+                                   strength=jnp.float32(self.env_strength))
 
     def _settings_key(self, cam_pos):
         return (tuple(np.round(np.asarray(cam_pos, np.float64), 5)),
@@ -186,7 +204,13 @@ class Renderer:
                 round(self.basis.fov_y, 5),
                 self.use_neural_query, self.lambert_view, self.bounce_count,
                 self.samples_per_pixel, self.classic_mesh_index,
-                self.envmap_rotation, self.use_additional_mesh)
+                self.envmap_rotation, self.env_strength,
+                self.use_additional_mesh,
+                # Any neural-color/env-color change must reset accumulation
+                # too (cuda_renderer_neural.cu:2191-2228) — omitting these
+                # blended stale samples into the running average.
+                self.use_constant_neural_color, self.constant_neural_color,
+                self.use_direct_env_color, self.direct_env_color)
 
     def _build_params(self, cam_pos) -> RenderParams:
         classic = self.scene.original_mesh
@@ -291,6 +315,35 @@ class Renderer:
         if self._pixels is None:
             raise RuntimeError("no frame rendered yet")
         return self._pixels
+
+    def memory_stats(self) -> dict:
+        """Mesh / BVH / network HBM footprints in bytes (the ImGui memory
+        panel, viewer.cu:456-517)."""
+        import numpy as _np
+
+        def tree_bytes(tree):
+            leaves = jax.tree_util.tree_leaves(tree)
+            return int(sum(_np.prod(l.shape) * l.dtype.itemsize
+                           for l in leaves if hasattr(l, "shape")))
+
+        stats = {"network_bytes": tree_bytes(self.net_params)}
+        mesh_total = bvh_total = 0
+        for name in ("original_mesh", "inner_shell", "outer_shell",
+                     "additional_mesh"):
+            arr = self._mesh_arrays(name)
+            bvh = (tree_bytes((arr.nodes_packed, arr.bvh_bounds_min,
+                               arr.bvh_bounds_max, arr.bvh_left,
+                               arr.bvh_right, arr.bvh_first, arr.bvh_count,
+                               arr.bvh_is_leaf, arr.bvh_skip,
+                               arr.cluster_bounds)))
+            total = tree_bytes(arr)
+            stats[name] = {"total_bytes": total, "bvh_bytes": bvh,
+                           "triangles": arr.num_triangles}
+            mesh_total += total - bvh
+            bvh_total += bvh
+        stats["mesh_bytes"] = mesh_total
+        stats["bvh_bytes"] = bvh_total
+        return stats
 
     @property
     def mrays_per_second(self) -> float:

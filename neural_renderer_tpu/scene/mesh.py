@@ -61,6 +61,13 @@ class MeshArrays:
     nodes_packed: jnp.ndarray    # [11, N] f32
     # tris_packed rows: 0-2 v0, 3-5 e1(=v1-v0), 6-8 e2(=v2-v0).
     tris_packed: jnp.ndarray     # [9, T] f32
+    # Two-level dense tracing (ops/trace_cluster.py): AABBs of consecutive
+    # CLUSTER_SIZE-triangle chunks of the BVH-leaf-ordered triangle array
+    # (leaf order makes chunks spatially tight). Rows 0-2 min, 3-5 max;
+    # empty padding clusters carry an inverted box. This is the TPU
+    # replacement for the role of OptiX GAS on large meshes
+    # (/root/reference/src/mesh.cu:297-357).
+    cluster_bounds: jnp.ndarray  # [6, C] f32, C = ceil(T / CLUSTER_SIZE)
     # Materials (transposed: scalar/slot axis major, material axis minor)
     mat_scalars: jnp.ndarray   # [NUM_SCALARS, M] f32
     mat_tex_ids: jnp.ndarray   # [NUM_TEX_SLOTS, M] i32
@@ -242,6 +249,10 @@ class Mesh:
         tris_packed[3:6] = (tri[:, 1] - tri[:, 0]).T
         tris_packed[6:9] = (tri[:, 2] - tri[:, 0]).T
 
+        from ..ops.trace_cluster import cluster_bounds_from_packed
+        cluster_bounds = cluster_bounds_from_packed(
+            tris_packed, self.num_triangles)
+
         return MeshArrays(
             vertices=jnp.asarray(vertices.T, dtype),
             normals=jnp.asarray(normals.T, dtype),
@@ -258,6 +269,7 @@ class Mesh:
             bvh_skip=jnp.asarray(skip),
             nodes_packed=jnp.asarray(nodes_packed),
             tris_packed=jnp.asarray(tris_packed),
+            cluster_bounds=jnp.asarray(cluster_bounds),
             mat_scalars=jnp.asarray(table.scalars.T, dtype),
             mat_tex_ids=jnp.asarray(table.tex_ids.T),
             mat_tex_chans=jnp.asarray(table.tex_chans.T),

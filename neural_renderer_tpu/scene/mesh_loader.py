@@ -439,7 +439,32 @@ def load_mesh_from_file(path: str, normalize: bool = False, scale: float = 1.0) 
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
         return load_obj(path, normalize=normalize, scale=scale)
+    if ext == ".fbx":
+        return load_fbx(path, normalize=normalize, scale=scale)
     raise MeshLoadError(f"Unsupported mesh format '{ext}': {path}")
+
+
+def load_fbx(path: str, normalize: bool = False, scale: float = 1.0) -> Mesh:
+    """Binary FBX, geometry-only with pretransform + smooth normals — the
+    semantics of the reference's Assimp path (mesh_loader.cpp:610-691);
+    parser in scene/fbx_loader.py."""
+    from .fbx_loader import FbxError, load_fbx_geometry
+    try:
+        vertices, indices, normals = load_fbx_geometry(path)
+    except FbxError as e:
+        raise MeshLoadError(str(e)) from e
+    mesh = Mesh()
+    mesh.vertices = vertices.astype(np.float32)
+    mesh.indices = indices.astype(np.uint32)
+    mesh.normals = normals.astype(np.float32)
+    # Single primitive with the global material (mesh_loader.cpp:636-637).
+    mesh.material_map = np.zeros(1, np.uint32)
+    mesh.material_ids = np.full(1, -1, np.int32)
+    if normalize:
+        mesh.normalize()
+    mesh.scale(scale)
+    mesh.mark_dirty()
+    return mesh
 
 
 def load_mesh_auto(path: str, normalize: bool = False, scale: float = 1.0) -> Mesh:

@@ -1,0 +1,102 @@
+"""Golden-image regression tests.
+
+The reference's de-facto verification is golden self-comparison (SURVEY.md
+§4); these tests pin recorded renders so a silent quality regression fails CI
+instead of waiting for a human evaluate run.
+
+Goldens are recorded on the TPU (scripts/record_goldens.py). The RNG is
+bit-exact by construction (ops/rng.py wang-hash counters), so on the
+recording platform the comparison is EXACT u8 equality; other backends get a
+small tolerance for FP reassociation/transcendental differences.
+
+The full quality gate (train-checkpoint PSNR/FLIP thresholds) is opt-in:
+RUN_QUALITY=1 pytest tests/test_golden.py -k quality
+(it renders 64 spp at 480x270 — minutes, not CI material).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+_ON_RECORDING_PLATFORM = jax.default_backend() in ("tpu", "axon")
+
+
+def _sphere_scene():
+    from neural_renderer_tpu.config import load_config
+    from neural_renderer_tpu.scene.scene import Scene
+    cfg = load_config(os.path.join(os.path.dirname(GOLDEN_DIR), os.pardir,
+                                   "configs", "sphere", "sphere.json"))
+    return cfg, Scene.from_config(cfg, sphere_fallback=False)
+
+
+def render_fixtures() -> dict:
+    """name -> u8 image. Deterministic renders only (no trained weights)."""
+    from neural_renderer_tpu.render import RenderBasis, Renderer
+    from neural_renderer_tpu.config import matrix_to_camera_state
+    from neural_renderer_tpu.cli.input_controller import (CameraState,
+                                                          InputController)
+    cfg, scene = _sphere_scene()
+    renderer = Renderer(scene, cfg.neural_network)
+    renderer.resize(96, 54)
+    renderer.set_bounce_count(2)
+    renderer.set_use_neural_query(False)
+
+    pos, yaw, pitch = matrix_to_camera_state(cfg.camera.matrix)
+    controller = InputController(CameraState(position=pos, yaw=yaw,
+                                             pitch=pitch,
+                                             fov_y=cfg.camera.yfov))
+    b = controller.basis
+    renderer.set_camera_basis(RenderBasis(b.forward, b.right, b.up,
+                                          cfg.camera.yfov))
+
+    out = {}
+    renderer.set_lambert_view(True)
+    out["gt_lambert_96x54"] = renderer.render(pos)
+    renderer.set_lambert_view(False)
+    renderer.reset_samples()
+    out["gt_path_96x54_spp1_b2"] = renderer.render(pos)
+    return out
+
+
+@pytest.mark.parametrize("name", ["gt_lambert_96x54", "gt_path_96x54_spp1_b2"])
+def test_golden_images(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.png")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {path} not recorded "
+                    "(run scripts/record_goldens.py on the TPU)")
+    import imageio.v2 as imageio
+    golden = np.asarray(imageio.imread(path))[..., :3]
+    img = render_fixtures()[name]
+    assert img.shape == golden.shape
+    if _ON_RECORDING_PLATFORM:
+        np.testing.assert_array_equal(img, golden)
+    else:
+        diff = np.abs(img.astype(int) - golden.astype(int))
+        assert diff.max() <= 2
+        assert (diff.sum(axis=-1) > 0).mean() < 0.05
+
+
+@pytest.mark.skipif(os.environ.get("RUN_QUALITY") != "1",
+                    reason="opt-in quality gate (RUN_QUALITY=1): renders "
+                           "64 spp at 480x270")
+def test_quality_thresholds(capsys):
+    """GT-vs-neural PSNR/FLIP on the bundled trained checkpoint must not
+    regress below the recorded round-1 level (46.12 dB / 0.0164 FLIP at
+    64 spp, BASELINE.md) minus noise margin."""
+    import re
+    from neural_renderer_tpu.cli import evaluate as eval_cli
+    rc = eval_cli.main([os.path.join(os.path.dirname(GOLDEN_DIR), os.pardir,
+                                     "configs", "sphere", "sphere.json"),
+                        "--width", "480", "--height", "270"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    psnr = re.search(r"PSNR: ([0-9.]+) dB", out)
+    flip = re.search(r"FLIP: ([0-9.]+) \(mean\)", out)
+    assert psnr and flip, f"evaluate did not report metrics:\n{out[-500:]}"
+    assert float(psnr.group(1)) >= 45.5
+    assert float(flip.group(1)) <= 0.018

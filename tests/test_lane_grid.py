@@ -1,0 +1,138 @@
+"""Lane-local hash grid: twin-vs-numpy, kernel-vs-twin parity, training.
+
+The lane grid is the TPU-native encoding variant (models/lane_grid.py and
+ops/lane_grid_kernel.py); the tcnn-compatible grid keeps checkpoint parity
+with the reference (cuda_renderer_neural.cu:1647-1675). These tests pin the
+twin's hash/interpolation math against straight numpy and the fused Pallas
+kernel against the twin (interpret mode on CPU, compiled on TPU).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_renderer_tpu.models import lane_grid, nbvh
+from neural_renderer_tpu.ops.lane_grid_kernel import forward_lane
+
+
+def _numpy_lane_encode(tables, x, base_resolution, per_level_scale):
+    """Straight numpy mirror of lane_grid.lane_encode_features."""
+    p_, l_, f_, s_, lanes = tables.shape
+    n_entries = s_ * lanes
+    feats = []
+    for p in range(p_):
+        xs = x[p * 3:(p + 1) * 3]
+        for level in range(l_):
+            scale = lane_grid.level_scale(level, base_resolution,
+                                          per_level_scale)
+            pos = xs * np.float32(scale) + np.float32(0.5)
+            c0 = np.floor(pos).astype(np.int64)
+            w = pos - np.floor(pos)
+            table_fe = tables[p, level].reshape(f_, n_entries)
+            acc = np.zeros((f_, x.shape[1]), np.float32)
+            for dz in (0, 1):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        cx = np.uint32(c0[0] + dx)
+                        cy = np.uint32(c0[1] + dy)
+                        cz = np.uint32(c0[2] + dz)
+                        h = (cx * np.uint32(1)
+                             ^ cy * np.uint32(2654435761)
+                             ^ cz * np.uint32(805459861))
+                        idx = (h & np.uint32(n_entries - 1)).astype(np.int64)
+                        wx = w[0] if dx else 1.0 - w[0]
+                        wy = w[1] if dy else 1.0 - w[1]
+                        wz = w[2] if dz else 1.0 - w[2]
+                        acc += table_fe[:, idx] * (wx * wy * wz)[None, :]
+            feats.extend(acc)
+    return np.stack(feats, axis=0)
+
+
+def test_twin_matches_numpy(rng):
+    tables = rng.normal(size=(2, 3, 2, 4, 128)).astype(np.float32)
+    x = rng.uniform(size=(6, 97)).astype(np.float32)
+    ref = _numpy_lane_encode(tables, x, base_resolution=4, per_level_scale=1.5)
+    out = np.stack([np.asarray(f) for f in lane_grid.lane_encode_features(
+        jnp.asarray(tables), jnp.asarray(x), 4, 1.5)], axis=0)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def _lane_cfg():
+    return nbvh.NbvhConfig(grid_type="lane", lane_sublanes=4)
+
+
+def _params_and_inputs(n=300):
+    cfg = _lane_cfg()
+    params = nbvh.init_params(jax.random.PRNGKey(0), cfg)
+    # Lift tables above init noise so parity errors are visible.
+    params["lane"] = params["lane"] * 1e3
+    x = jnp.asarray(np.random.default_rng(1).uniform(size=(cfg.input_dims, n)),
+                    jnp.float32)
+    return cfg, params, x
+
+
+def test_kernel_parity_interpret():
+    cfg, params, x = _params_and_inputs()
+    ref = np.asarray(nbvh.apply(params, x, cfg, compute_dtype=jnp.bfloat16))
+    out = np.asarray(forward_lane(params, x, cfg, interpret=True))
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(out - ref).max() / scale < 2e-2  # bf16 MXU rounding budget
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="compiled lane kernel requires the TPU backend")
+def test_kernel_parity_tpu():
+    cfg, params, x = _params_and_inputs()
+    ref = np.asarray(nbvh.apply(params, x, cfg, compute_dtype=jnp.bfloat16))
+    out = np.asarray(forward_lane(params, x, cfg))
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(out - ref).max() / scale < 2e-2
+
+
+def test_apply_use_kernel_dispatch_cpu():
+    """use_kernel=True on a non-TPU platform must fall back to the XLA path
+    (identical results) — the march always passes use_kernel=True."""
+    cfg, params, x = _params_and_inputs(64)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        a = np.asarray(nbvh.apply(params, x, cfg, use_kernel=True))
+        b = np.asarray(nbvh.apply(params, x, cfg, use_kernel=False))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_blob_io_guards():
+    cfg, params, _ = _params_and_inputs(8)
+    with pytest.raises(ValueError, match="lane"):
+        nbvh.save_flat_blob("/tmp/_lane_blob.bin", params, cfg)
+    with pytest.raises(ValueError, match="orbax"):
+        nbvh.load_flat_blob("/tmp/does_not_exist.bin", cfg)
+
+
+def test_lane_train_step_decreases_loss():
+    from neural_renderer_tpu.train import (SegmentBatch, TrainConfig,
+                                           init_train_state,
+                                           make_train_step_on_batch)
+    cfg = nbvh.NbvhConfig(grid_type="lane", lane_sublanes=2, n_levels=2,
+                          mlp_width=32, mlp_hidden_layers=2)
+    tcfg = TrainConfig(batch_size=256, compute_dtype="float32",
+                       learning_rate=3e-3)
+    state = init_train_state(tcfg, cfg)
+    rng = np.random.default_rng(0)
+    b = tcfg.batch_size
+    batch = SegmentBatch(
+        inputs=jnp.asarray(rng.uniform(size=(cfg.input_dims, b)), jnp.float32),
+        presence=jnp.asarray(rng.integers(0, 2, b), jnp.float32),
+        distance=jnp.asarray(rng.uniform(size=b), jnp.float32),
+        normal=jnp.asarray(rng.normal(size=(3, b)), jnp.float32),
+        color=jnp.asarray(rng.uniform(size=(3, b)), jnp.float32),
+        valid=jnp.ones(b, bool),
+    )
+    step = make_train_step_on_batch(tcfg, cfg)
+    state, m0 = step(state, batch)
+    for _ in range(20):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["total"]))
+    assert float(m["total"]) < float(m0["total"])

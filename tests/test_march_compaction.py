@@ -55,3 +55,40 @@ def test_compacted_march_matches_full():
     np.testing.assert_array_equal(np.asarray(a.albedo).T[h],
                                   np.asarray(b.albedo).T[h])
     assert h.sum() > 100
+
+
+def test_compacted_bounce_stage_matches_full():
+    """The whole-bounce-stage compaction in render_neural_frame (early
+    termination + march + merge on a gathered prefix) must leave the frame
+    bit-identical to the full-batch path."""
+    from neural_renderer_tpu.render.neural_frame import render_neural_frame
+    from neural_renderer_tpu.scene.envmap import EnvironmentMap
+    from neural_renderer_tpu.scene.mesh import Mesh
+
+    outer = outward_sphere(12, 24, 1.2).to_arrays()
+    inner = outward_sphere(12, 24, 0.8).to_arrays()
+    cfg = nbvh.NbvhConfig(log2_hashmap_size=10, base_resolution=8, n_levels=2,
+                          mlp_width=32, mlp_hidden_layers=2)
+    net = nbvh.init_params(jax.random.PRNGKey(2), cfg)
+    ctx = NeuralContext(outer=outer, inner=inner, net_params=net, config=cfg)
+    omin = np.asarray(outer.bvh_bounds_min[:, 0])
+    omax = np.asarray(outer.bvh_bounds_max[:, 0])
+    params = RenderParams.make(
+        width=64, height=32, samples_per_pixel=1, max_bounces=2,
+        cam_pos=[0, 0, 3.0], cam_forward=[0, 0, -1.0], cam_right=[1, 0, 0.0],
+        cam_up=[0, 1, 0.0], fov_y=0.9, material=Material.default(),
+        scene_scale=2.0, outer_shell_min=omin,
+        outer_shell_inv_extent=1.0 / (omax - omin))
+    env = EnvironmentMap().to_arrays()
+    add = Mesh().to_arrays()
+    accum = jnp.zeros((3, 64 * 32), jnp.float32)
+
+    img_a, acc_a = render_neural_frame(ctx, add, env, params, accum,
+                                       compute_dtype=jnp.float32,
+                                       bounce_compaction=False)
+    img_b, acc_b = render_neural_frame(ctx, add, env, params, accum,
+                                       compute_dtype=jnp.float32,
+                                       bounce_compaction=True)
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+    np.testing.assert_array_equal(np.asarray(acc_a), np.asarray(acc_b))
+    assert np.asarray(img_a).std() > 0  # non-degenerate render
