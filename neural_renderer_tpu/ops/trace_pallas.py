@@ -101,6 +101,115 @@ def _kernel(o_ref, d_ref, tri_ref, out_ref, *, mode: int, num_tiles: int):
     out_ref[1, :] = jax.lax.bitcast_convert_type(best_tri, jnp.float32)
 
 
+def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
+                  num_tiles: int):
+    """Dual-mesh dual-facing sweep: tris_packed = [outer | inner] (each padded
+    to TRI_TILE). Emits per-ray nearest FORWARD and BACKWARD hit t for each
+    mesh in one pass — out rows = (outer_fwd, outer_bwd, inner_fwd,
+    inner_bwd), 1e30 on miss. One sweep replaces up to five separate
+    trace_mesh launches in the shell march / early-termination stage
+    (traceSegmentExitsKernel + checkBounceEarlyTerminationKernel +
+    traceOuterShellEntryFromRaysKernel semantics,
+    cuda_renderer_neural.cu:858-930, 503-553, 773-852); exact because an
+    ANY-mode closest hit equals min(forward closest, backward closest)."""
+    ox = o_ref[0, :][:, None]
+    oy = o_ref[1, :][:, None]
+    oz = o_ref[2, :][:, None]
+    dx = d_ref[0, :][:, None]
+    dy = d_ref[1, :][:, None]
+    dz = d_ref[2, :][:, None]
+
+    def tile(c, state):
+        of, ob, inf_, inb = state
+        tb = tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)]
+        v0x = tb[0, :][None, :]
+        v0y = tb[1, :][None, :]
+        v0z = tb[2, :][None, :]
+        e1x = tb[3, :][None, :]
+        e1y = tb[4, :][None, :]
+        e1z = tb[5, :][None, :]
+        e2x = tb[6, :][None, :]
+        e2y = tb[7, :][None, :]
+        e2z = tb[8, :][None, :]
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= TRI_EPSILON
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        ok &= (u >= 0.0) & (u <= 1.0)
+
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        ok &= (v >= 0.0) & (u + v <= 1.0)
+
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok &= (t > TRI_EPSILON) & (t > MIN_T)
+
+        # Facing sign, same arithmetic as the oracle's cross-product normal.
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        facing = nx * dx + ny * dy + nz * dz
+
+        t_fwd = jnp.min(jnp.where(ok & (facing < 0.0), t, 1e30), axis=1)
+        t_bwd = jnp.min(jnp.where(ok & (facing > 0.0), t, 1e30), axis=1)
+
+        is_outer = c < num_outer_tiles
+        of = jnp.where(is_outer, jnp.minimum(of, t_fwd), of)
+        ob = jnp.where(is_outer, jnp.minimum(ob, t_bwd), ob)
+        inf_ = jnp.where(is_outer, inf_, jnp.minimum(inf_, t_fwd))
+        inb = jnp.where(is_outer, inb, jnp.minimum(inb, t_bwd))
+        return of, ob, inf_, inb
+
+    init = tuple(jnp.full((BLOCK_RAYS,), 1e30, jnp.float32) for _ in range(4))
+    of, ob, inf_, inb = jax.lax.fori_loop(0, num_tiles, tile, init)
+    out_ref[0, :] = of
+    out_ref[1, :] = ob
+    out_ref[2, :] = inf_
+    out_ref[3, :] = inb
+
+
+@functools.partial(jax.jit, static_argnames=("num_outer_tiles", "num_tiles"))
+def sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
+                        num_tiles: int):
+    """origins/dirs [3, Npad]; tris_packed [9, num_tiles*TRI_TILE] =
+    outer tris (num_outer_tiles tiles) then inner tris. Returns [4, Npad]:
+    (outer_fwd_t, outer_bwd_t, inner_fwd_t, inner_bwd_t)."""
+    n = origins.shape[1]
+    t_total = tris_packed.shape[1]
+    grid = (n // BLOCK_RAYS,)
+
+    return pl.pallas_call(
+        functools.partial(_sweep_kernel, num_outer_tiles=num_outer_tiles,
+                          num_tiles=num_tiles),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, t_total), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, BLOCK_RAYS), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n) * int(t_total) * 50,
+            bytes_accessed=int(n) * 40 + 9 * int(t_total) * 4,
+            transcendentals=0),
+    )(origins, dirs, tris_packed)
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "num_tiles"))
 def trace_dense_pallas(origins, dirs, tris_packed, mode: int, num_tiles: int):
     """origins/dirs [3, Npad] (Npad multiple of BLOCK_RAYS); tris_packed

@@ -118,6 +118,121 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
 
 
 # ---------------------------------------------------------------------------
+# Fused shell sweep (dual mesh, dual facing)
+# ---------------------------------------------------------------------------
+
+class ShellSweep(NamedTuple):
+    """Nearest-hit t per facing per shell, 1e30 on miss. An ANY-mode closest
+    hit is exactly min(fwd, bwd): the determinant cull (|det| >= TRI_EPSILON)
+    guarantees facing != 0, so every accepted hit is strictly forward or
+    backward."""
+    outer_fwd: jnp.ndarray  # [N] f32
+    outer_bwd: jnp.ndarray
+    inner_fwd: jnp.ndarray
+    inner_bwd: jnp.ndarray
+
+
+def _dense_t_only(mesh, origins, dirs, mode: int):
+    """XLA twin of the sweep for one (mesh, mode): the `_trace_dense_xla`
+    chunk loop reduced to min-t (no argmin / u / v)."""
+    n = origins.shape[1]
+    num_tris = mesh.indices.shape[1]
+    chunk = min(_DENSE_TRI_CHUNK, max(1, num_tris))
+    num_chunks = -(-num_tris // chunk)
+    padded = num_chunks * chunk
+    tp = mesh.tris_packed
+    if padded != num_tris:
+        tp = jnp.pad(tp, ((0, 0), (0, padded - num_tris)))
+    o = origins[:, :, None]
+    d = dirs[:, :, None]
+
+    def body(c, best_t):
+        block = jax.lax.dynamic_slice(tp, (0, c * chunk), (9, chunk))
+        t, _, _, ok = _mt_from_packed(o, d, block[0:3][:, None, :],
+                                      block[3:6][:, None, :],
+                                      block[6:9][:, None, :], mode)
+        t = jnp.where(ok & (t > MIN_T), t, 1e30)
+        return jnp.minimum(best_t, jnp.min(t, axis=1))
+
+    return jax.lax.fori_loop(0, num_chunks, body,
+                             jnp.full((n,), 1e30, jnp.float32))
+
+
+def sweep_shells(outer, inner, origins, dirs) -> ShellSweep:
+    """ONE dense pass over both shell meshes computing all four facing-culled
+    closest hits the march and early-termination stages consume. Replaces up
+    to five trace_mesh launches per bounce stage (reference kernels
+    traceSegmentExitsKernel cuda_renderer_neural.cu:858-930,
+    checkBounceEarlyTerminationKernel :503-553,
+    traceOuterShellEntryFromRaysKernel :773-852).
+
+    origins/dirs: [3, N] channel-major. Returns raw t's — callers apply their
+    own active masks.
+    """
+    n = origins.shape[1]
+    miss = jnp.full((n,), 1e30, jnp.float32)
+    outer_empty = outer.is_empty
+    inner_empty = inner.is_empty
+    if outer_empty and inner_empty:
+        return ShellSweep(miss, miss, miss, miss)
+
+    big = max(0 if outer_empty else outer.num_triangles,
+              0 if inner_empty else inner.num_triangles)
+    if big > DENSE_MAX_TRIANGLES or outer_empty:
+        # Shells this large (or outer-less configs) take the generic paths.
+        def one(mesh, mode, empty):
+            if empty:
+                return miss
+            r = trace_mesh(mesh, origins, dirs, mode)
+            return jnp.where(r.hit, r.t, 1e30)
+        return ShellSweep(one(outer, FORWARD_ONLY, outer_empty),
+                          one(outer, BACKWARD_ONLY, outer_empty),
+                          one(inner, FORWARD_ONLY, inner_empty),
+                          one(inner, BACKWARD_ONLY, inner_empty))
+
+    from .trace_pallas import BLOCK_RAYS, TRI_TILE, sweep_shells_pallas
+
+    def pad_tris(mesh):
+        tris = mesh.tris_packed
+        num = tris.shape[1]
+        pad = -(-num // TRI_TILE) * TRI_TILE
+        if pad != num:
+            tris = jnp.pad(tris, ((0, 0), (0, pad - num)))
+        return tris, pad // TRI_TILE
+
+    outer_tp, outer_tiles = pad_tris(outer)
+    if inner_empty:
+        inner_tp, inner_tiles = jnp.zeros((9, 0), jnp.float32), 0
+    else:
+        inner_tp, inner_tiles = pad_tris(inner)
+    tp = jnp.concatenate([outer_tp, inner_tp], axis=1)
+
+    def tpu_fn(origins, dirs):
+        n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
+        o, d = origins, dirs
+        if n_pad != n:
+            o = jnp.pad(o, ((0, 0), (0, n_pad - n)))
+            d = jnp.pad(d, ((0, 0), (0, n_pad - n)))
+        out = sweep_shells_pallas(o, d, tp, outer_tiles,
+                                  outer_tiles + inner_tiles)
+        return ShellSweep(out[0, :n], out[1, :n],
+                          out[2, :n] if not inner_empty else miss,
+                          out[3, :n] if not inner_empty else miss)
+
+    def default_fn(origins, dirs):
+        return ShellSweep(
+            _dense_t_only(outer, origins, dirs, FORWARD_ONLY),
+            _dense_t_only(outer, origins, dirs, BACKWARD_ONLY),
+            _dense_t_only(inner, origins, dirs, FORWARD_ONLY)
+            if not inner_empty else miss,
+            _dense_t_only(inner, origins, dirs, BACKWARD_ONLY)
+            if not inner_empty else miss)
+
+    return jax.lax.platform_dependent(origins, dirs, tpu=tpu_fn,
+                                      default=default_fn)
+
+
+# ---------------------------------------------------------------------------
 # Dense path
 # ---------------------------------------------------------------------------
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..ops import traversal
 from ..ops.linalg import where3
 from . import pathtrace as pt
-from .neural_march import NeuralContext, check_bounce_early_termination, \
+from .neural_march import NeuralContext, bounce_shell_entry_and_early_term, \
     trace_neural_segments
 
 
@@ -29,12 +29,13 @@ def _bounce_stage(ctx, params, additional_mesh, use_additional, compute_dtype,
                   rays: "pt.BounceRays", active):
     """Everything between sampling and integration for one bounce: early
     termination + shell march + additional-mesh merge. Runs on any batch
-    width, so the caller can feed a compacted prefix."""
-    active = check_bounce_early_termination(ctx.outer, ctx.inner, params,
-                                            rays, active)
+    width, so the caller can feed a compacted prefix. Early termination and
+    shell entry share one fused shell sweep (bounce_shell_entry_and_early_term)."""
+    active, entry = bounce_shell_entry_and_early_term(ctx, rays, active)
     hits = trace_neural_segments(
         ctx, params, rays.origin, rays.direction, ray_active=active,
-        pdfs=rays.pdf, camera_rays=False, compute_dtype=compute_dtype)
+        pdfs=rays.pdf, camera_rays=False, compute_dtype=compute_dtype,
+        entry=entry)
     if use_additional and not additional_mesh.is_empty:
         add_hits = pt.trace_rays_mesh(additional_mesh, params, rays.origin,
                                       rays.direction, traversal.ANY,

@@ -88,16 +88,21 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
                           ray_active=None, pdfs=None,
                           camera_rays: bool = True,
                           compute_dtype=jnp.bfloat16,
-                          compaction: bool | None = None) -> HitState:
+                          compaction: bool | None = None,
+                          entry=None) -> HitState:
     """Full multi-segment march; returns a HitState over [N] rays.
 
     `params` is the RenderParams block (material/constant-color settings,
     outer-shell normalization bounds). `ray_active`/`pdfs` gate bounce rays
-    like the reference's rayActiveMask/rayPdfs.
+    like the reference's rayActiveMask/rayPdfs. `entry` optionally supplies a
+    precomputed (entry_pos, active, accum_t) — the fused bounce stage
+    (bounce_shell_entry_and_early_term) provides it from its shell sweep.
     """
     n = origins.shape[1]
 
-    if camera_rays:
+    if entry is not None:
+        entry_pos, active, accum_t = entry
+    elif camera_rays:
         entry_pos, active, accum_t = _shell_entry_camera(ctx.outer, origins, dirs)
     else:
         ray_active = jnp.ones(n, bool) if ray_active is None else ray_active
@@ -123,15 +128,16 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         outer_min = params.outer_shell_min[:, None]
         inv_extent = params.outer_shell_inv_extent[:, None]
 
-        # 1. Segment exits (traceSegmentExitsKernel :858-930).
+        # 1. Segment exits (traceSegmentExitsKernel :858-930): ONE fused
+        # sweep over both shells replaces the separate outer-BACKWARD and
+        # inner-ANY traces (inner ANY == min of its fwd/bwd closest hits).
         shifted_entry = entry_b + dirs_b * SEGMENT_EPSILON
-        res_exit = traversal.trace_mesh(ctx.outer, shifted_entry, dirs_b,
-                                        traversal.BACKWARD_ONLY, active=active_b)
-        exit_t = jnp.where(res_exit.hit, res_exit.t, SEGMENT_EPSILON)
-        res_inner = traversal.trace_mesh(ctx.inner, shifted_entry, dirs_b,
-                                         traversal.ANY, active=active_b)
-        inner_hit = res_inner.hit
-        inner_t = jnp.where(inner_hit, res_inner.t, 1e30)
+        sw = traversal.sweep_shells(ctx.outer, ctx.inner, shifted_entry, dirs_b)
+        exit_hit = active_b & (sw.outer_bwd < 1e30)
+        exit_t = jnp.where(exit_hit, sw.outer_bwd, SEGMENT_EPSILON)
+        inner_any = jnp.minimum(sw.inner_fwd, sw.inner_bwd)
+        inner_hit = active_b & (inner_any < 1e30)
+        inner_t = jnp.where(inner_hit, inner_any, 1e30)
         inner_before = inner_hit & (inner_t < exit_t)
         seg_t = jnp.where(inner_before, inner_t, exit_t)
         exit_pos = shifted_entry + dirs_b * seg_t[None, :]
@@ -291,6 +297,52 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
     state = (jnp.int32(0), active, entry_pos, accum_t, out_hit)
     _, _, _, _, out_hit = jax.lax.while_loop(cond, body, state)
     return out_hit
+
+
+def bounce_shell_entry_and_early_term(ctx: NeuralContext, rays, path_active):
+    """Fused bounce-stage shell work: checkBounceEarlyTerminationKernel
+    (cuda_renderer_neural.cu:503-553) + traceOuterShellEntryFromRaysKernel
+    (:773-852) share their ray origins, so ONE shell sweep serves both —
+    replacing four facing-culled traces with a single dense pass (plus a
+    mostly-inactive retry trace for rays that start inside the shell).
+
+    Returns (active, (entry_pos, entry_hit, accum_t)); the tuple feeds
+    trace_neural_segments(entry=...).
+    """
+    sw = traversal.sweep_shells(ctx.outer, ctx.inner, rays.origin,
+                                rays.direction)
+    outer_any = jnp.minimum(sw.outer_fwd, sw.outer_bwd)
+    inner_any = jnp.minimum(sw.inner_fwd, sw.inner_bwd)
+
+    # Early termination: kill a path whose bounce ray re-enters the shell
+    # volume (inner shell hit before outer).
+    check = path_active & (rays.pdf > 0.0) & (rays.distance > 0.0)
+    kill = check & (inner_any < 1e30) & (outer_any < 1e30) & \
+        (inner_any < outer_any)
+    active = path_active & ~kill
+
+    # Shell entry from arbitrary rays; rays starting inside the outer shell
+    # first exit (BACKWARD) then re-enter via the masked retry trace.
+    ok = active & (rays.pdf > 0.0)
+    fwd_hit = ok & (sw.outer_fwd < 1e30)
+    need_restart = ok & ~fwd_hit
+    bwd_hit = sw.outer_bwd < 1e30
+    base_offset = jnp.where(need_restart & bwd_hit,
+                            sw.outer_bwd + SEGMENT_EPSILON, 0.0)
+    shifted_origin = rays.origin + rays.direction * base_offset[None, :]
+    res_retry = traversal.trace_mesh(ctx.outer, shifted_origin, rays.direction,
+                                     traversal.FORWARD_ONLY,
+                                     active=need_restart & bwd_hit)
+
+    hit = ok & (fwd_hit | res_retry.hit)
+    entry_t = jnp.where(fwd_hit, sw.outer_fwd, res_retry.t)
+    entry_origin = where3(fwd_hit, rays.origin, shifted_origin)
+    entry_pos = entry_origin + rays.direction * entry_t[None, :]
+    total_t = jnp.where(fwd_hit, entry_t, base_offset + entry_t)
+
+    entry_pos = where3(hit, entry_pos, jnp.zeros_like(entry_pos))
+    accum_t = jnp.where(hit, total_t, 0.0)
+    return active, (entry_pos, hit, accum_t)
 
 
 def check_bounce_early_termination(outer, inner, params, rays, path_active):

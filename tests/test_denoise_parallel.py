@@ -167,5 +167,10 @@ def test_tiled_neural_render_matches_single_device(cpu_devices):
     a = np.asarray(img_ref).astype(int)
     b = np.asarray(img_tiled).astype(int)
     diff = np.abs(a - b)
-    assert diff.max() <= 1
+    # Pixel ids (hence RNG streams) are identical; the sharded and
+    # single-device programs are different XLA compilations whose MLP matmul
+    # blocking differs with the batch width, so fp reassociation can move a
+    # near-boundary pixel by up to two u8 steps through the sRGB curve.
+    assert diff.max() <= 2
     assert (diff.sum(axis=-1) > 0).mean() < 0.05
+    assert (diff.max(axis=-1) >= 2).mean() < 0.01
