@@ -41,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 CLUSTER_SIZE = 256
 BLOCK_RAYS = 512
 TRI_TILE = 128
-SHORTLIST_K = 64
+SHORTLIST_K = 256        # capacity cap for very large meshes
+SHORTLIST_FULL_MAX = 256  # <= this many clusters: shortlist covers ALL of them
 MIN_T = 1e-6
 TRI_EPSILON = 1e-8
 
@@ -127,14 +128,24 @@ def _block_cluster_mask(origins, dirs, cluster_bounds, active):
     return mask[:, :c]
 
 
-def _shortlists(mask):
+def shortlist_capacity(c: int) -> int:
+    """Static shortlist size for a mesh with c clusters: full coverage when
+    it fits (overflow becomes impossible and the BVH-walk fallback
+    compiles to a zero-iteration while_loop), else the cap — measured on the
+    57.6k-tri incoherent workload, dead grid steps beyond a block's count
+    cost ~100 ms per 256k rays at full coverage vs a 29 us/ray walk
+    fallback, a 21x win (BASELINE.md round 2)."""
+    return c if c <= SHORTLIST_FULL_MAX else SHORTLIST_K
+
+
+def _shortlists(mask, k=None):
     """mask [NB, C] -> (ids [NB, K] i32, counts [NB] i32, overflow [NB] bool).
 
     ids holds the first K overlapped cluster indices ascending; dummy tail
     slots repeat the last real id (so consecutive grid steps reuse the same
     VMEM tile and Mosaic skips the DMA)."""
     nb, c = mask.shape
-    k = min(SHORTLIST_K, c)
+    k = min(SHORTLIST_K, c) if k is None else k
     iota = jax.lax.broadcasted_iota(jnp.int32, (nb, c), 1)
     ranked = jnp.sort(jnp.where(mask, iota, jnp.int32(c)), axis=1)[:, :k]
     counts = jnp.sum(mask, axis=1).astype(jnp.int32)

@@ -336,7 +336,60 @@ def _trace_dense_xla(mesh, origins, dirs, mode: int, active) -> TraceResult:
 # Two-level clustered dense path (large meshes, TPU)
 # ---------------------------------------------------------------------------
 
+_SORT_BITS = 3  # origin-morton bits per axis in the ray sort key
+
+
+def _ray_sort_order(origins, dirs, active):
+    """Stable sort order grouping rays by direction octant + origin morton
+    cell, so 512-ray blocks of INCOHERENT rays (bounce batches) still build
+    small cluster shortlists. The equivalent of the ray-sorting wavefront
+    path tracers use on GPUs; camera-ray batches keep their image-space
+    coherence because the sort is stable and all origins share one cell.
+    Inactive rays sort to the end (they are masked out of shortlists)."""
+    n = origins.shape[1]
+    octant = ((dirs[0] < 0).astype(jnp.int32) * 4 +
+              (dirs[1] < 0).astype(jnp.int32) * 2 +
+              (dirs[2] < 0).astype(jnp.int32))
+    if active is not None:
+        lo = jnp.min(jnp.where(active[None, :], origins, jnp.inf), axis=1)
+        hi = jnp.max(jnp.where(active[None, :], origins, -jnp.inf), axis=1)
+        # All-inactive batches leave an inverted bbox; any finite box works.
+        bad = lo[0] > hi[0]
+        lo = jnp.where(bad, 0.0, lo)
+        hi = jnp.where(bad, 1.0, hi)
+    else:
+        lo = jnp.min(origins, axis=1)
+        hi = jnp.max(origins, axis=1)
+    cells = 1 << _SORT_BITS
+    scale = cells / jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip(((origins - lo[:, None]) * scale[:, None]).astype(jnp.int32),
+                 0, cells - 1)
+    morton = jnp.zeros((n,), jnp.int32)
+    for b in range(_SORT_BITS):
+        for a in range(3):
+            morton |= ((q[a] >> b) & 1) << (3 * b + (2 - a))
+    key = (octant << (3 * _SORT_BITS)) | morton
+    if active is not None:
+        key = jnp.where(active, key, jnp.int32(1) << 20)
+    return jnp.argsort(key)
+
+
 def _trace_two_level(mesh, origins, dirs, mode: int, active) -> TraceResult:
+    """Octant/morton-sorted rays -> clustered dense trace -> unsort."""
+    n = origins.shape[1]
+    order = _ray_sort_order(origins, dirs, active)
+    inv = jnp.zeros((n,), order.dtype).at[order].set(
+        jnp.arange(n, dtype=order.dtype))
+    o_s = jnp.take(origins, order, axis=1)
+    d_s = jnp.take(dirs, order, axis=1)
+    act_s = jnp.take(active, order) if active is not None else None
+    res = _trace_two_level_impl(mesh, o_s, d_s, mode, act_s)
+    return TraceResult(t=jnp.take(res.t, inv), tri=jnp.take(res.tri, inv),
+                       u=jnp.take(res.u, inv), v=jnp.take(res.v, inv),
+                       hit=jnp.take(res.hit, inv))
+
+
+def _trace_two_level_impl(mesh, origins, dirs, mode: int, active) -> TraceResult:
     """Cluster-AABB shortlist + per-cluster dense Pallas sweep
     (ops/trace_cluster.py); rays in blocks whose shortlist overflowed are
     re-traced by the BVH walk (usually zero rays -> the masked while_loop
@@ -366,7 +419,7 @@ def _trace_two_level(mesh, origins, dirs, mode: int, active) -> TraceResult:
         tp = jnp.pad(tp, ((0, 0), (0, t_pad - num_tris)))
 
     mask = tc._block_cluster_mask(o, d, mesh.cluster_bounds, act_pad)
-    ids, counts, overflow = tc._shortlists(mask)
+    ids, counts, overflow = tc._shortlists(mask, tc.shortlist_capacity(c))
     best_t, best_tri = tc.trace_clusters_pallas(
         o, d, tp, ids.reshape(-1), counts, mode, ids.shape[1])
     best_t = best_t[:n]
