@@ -9,24 +9,28 @@ walking pointers we make the work dense at CLUSTER granularity:
   Level 0 (XLA): triangles sit in BVH-leaf order (mesh_bvh reorder), so
     consecutive CLUSTER_SIZE-triangle chunks are spatially tight; every ray
     slab-tests every cluster AABB (dense [N, C] vector math, C = T/256) and
-    the hits are OR-reduced over 512-ray blocks into a per-block cluster
-    shortlist of at most SHORTLIST_K ids.
+    the hits are OR-reduced over 512-ray blocks into per-block worklists of
+    cluster ids SORTED BY CONSERVATIVE ENTRY-T (front-to-back). Rays are
+    octant+morton sorted first (traversal._ray_sort_order) so blocks form
+    tight frusta with short worklists.
 
-  Level 1 (Pallas): a 2D grid (ray_block, shortlist_slot) where the cluster
-    id for each step comes from a SCALAR-PREFETCHED shortlist indexed inside
-    the BlockSpec index_map — the block-sparse-matmul scheduling pattern.
-    Each live step sweeps one 512-ray block against one 256-triangle cluster
-    tile in VMEM (register-tiled Moeller-Trumbore, same math as
-    trace_pallas.py); dummy tail slots map to the previous step's tile (no
-    DMA) and skip all compute. Output blocks are revisited across the inner
-    grid dim and accumulate best-t/tri in VMEM.
+  Level 1 (Pallas streaming kernel): ONE grid step per ray block. The step
+    DMAs its own worklist row (HBM -> SMEM scratch), then while-loops over
+    exactly count_i clusters, DMA-ing each 256-triangle tile HBM -> VMEM
+    scratch and sweeping it (register-tiled Moeller-Trumbore, same math as
+    trace_pallas.py). Front-to-back order + a per-block bound
+    max_r(min(best_t[r], bbox_exit_t[r])) turn the early-out into a real
+    BREAK: clusters behind every ray's committed hit cost nothing. This
+    replaced two earlier grid-step-per-cluster designs that paid ~1.7 us of
+    sequencer bookkeeping per dead/pruned step and whose scalar-prefetched
+    worklists were capped by the 1 MB SMEM.
 
-  Exactness: blocks whose true cluster count exceeds SHORTLIST_K (rare —
-    counts are bounded by scene silhouette complexity, not T) are re-traced
-    by the stackless BVH walk with only those rays active; a masked
-    while_loop over zero active rays exits immediately, so the fallback is
-    ~free unless actually needed. Results are bit-identical to
-    trace_mesh_brute modulo FP-contract, like the dense path.
+  Exactness: blocks with more than STREAM_K overlapped clusters (not seen in
+    practice — block counts track silhouette complexity, not T) are
+    re-traced by the stackless BVH walk, compacted to an n/16 ray buffer
+    (escalating to the full masked walk above that). Results are
+    bit-identical to trace_mesh_brute modulo FP-contract, like the dense
+    path.
 """
 
 from __future__ import annotations
@@ -41,8 +45,6 @@ from jax.experimental.pallas import tpu as pltpu
 CLUSTER_SIZE = 256
 BLOCK_RAYS = 512
 TRI_TILE = 128
-SHORTLIST_K = 256        # capacity cap for very large meshes
-SHORTLIST_FULL_MAX = 256  # <= this many clusters: shortlist covers ALL of them
 MIN_T = 1e-6
 TRI_EPSILON = 1e-8
 
@@ -80,9 +82,13 @@ def cluster_bounds_from_packed(tris_packed, num_triangles: int):
 _MASK_CLUSTER_CHUNK = 128
 
 
-def _block_cluster_mask(origins, dirs, cluster_bounds, active):
+def _block_cluster_mask(origins, dirs, cluster_bounds, active,
+                        with_tmin: bool = False):
     """[3, Npad] rays (Npad % BLOCK_RAYS == 0) x [6, C] boxes ->
     bool [NB, C]: does any (active) ray of block b enter cluster c.
+    With with_tmin also returns f32 [NB, C]: the minimum (clamped >= 0)
+    slab-entry t over the block's hitting rays, +inf where no ray hits —
+    the conservative ordering key for front-to-back cluster traversal.
 
     Clusters are processed in chunks so the [NB, R, chunk] slab intermediate
     stays bounded for very large meshes (C can reach thousands)."""
@@ -109,7 +115,8 @@ def _block_cluster_mask(origins, dirs, cluster_bounds, active):
     act = (active.reshape(nb, BLOCK_RAYS)[..., None]
            if active is not None else None)
 
-    def body(i, mask):
+    def body(i, state):
+        mask, btmin = state
         blk = jax.lax.dynamic_slice(cb, (0, i * chunk), (6, chunk))
         lo = blk[0:3][:, None, None, :]                    # [3, 1, 1, chunk]
         hi = blk[3:6][:, None, None, :]
@@ -117,167 +124,241 @@ def _block_cluster_mask(origins, dirs, cluster_bounds, active):
         t1 = (hi - o) * inv
         tmin = jnp.minimum(t0, t1).max(axis=0)             # [NB, R, chunk]
         tmax = jnp.maximum(t0, t1).min(axis=0)
-        hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmax > MIN_T)
+        tmin = jnp.maximum(tmin, 0.0)
+        hit = (tmax >= tmin) & (tmax > MIN_T)
         if act is not None:
             hit &= act
-        return jax.lax.dynamic_update_slice(
+        mask = jax.lax.dynamic_update_slice(
             mask, jnp.any(hit, axis=1), (0, i * chunk))
+        if with_tmin:
+            entry = jnp.min(jnp.where(hit, tmin, jnp.inf), axis=1)
+            btmin = jax.lax.dynamic_update_slice(btmin, entry, (0, i * chunk))
+        return mask, btmin
 
     mask0 = jnp.zeros((nb, cpad), bool)
-    mask = jax.lax.fori_loop(0, n_chunks, body, mask0)
+    tmin0 = jnp.full((nb, cpad) if with_tmin else (1, 1), jnp.inf, jnp.float32)
+    mask, btmin = jax.lax.fori_loop(0, n_chunks, body, (mask0, tmin0))
+    if with_tmin:
+        return mask[:, :c], btmin[:, :c]
     return mask[:, :c]
 
 
-def shortlist_capacity(c: int) -> int:
-    """Static shortlist size for a mesh with c clusters: full coverage when
-    it fits (overflow becomes impossible and the BVH-walk fallback
-    compiles to a zero-iteration while_loop), else the cap — measured on the
-    57.6k-tri incoherent workload, dead grid steps beyond a block's count
-    cost ~100 ms per 256k rays at full coverage vs a 29 us/ray walk
-    fallback, a 21x win (BASELINE.md round 2)."""
-    return c if c <= SHORTLIST_FULL_MAX else SHORTLIST_K
+# ---------------------------------------------------------------------------
+# Level 1: streaming kernel (one grid step per ray block)
+# ---------------------------------------------------------------------------
+
+def _sweep_cluster(cluster, o_ref, d_ref, tri_ref, out_ref, mode: int):
+    """Register-tiled Moeller-Trumbore of one ray block against the cluster
+    tile currently in VMEM; accumulates best-t/tri into out_ref."""
+    ox = o_ref[0, :][:, None]
+    oy = o_ref[1, :][:, None]
+    oz = o_ref[2, :][:, None]
+    dx = d_ref[0, :][:, None]
+    dy = d_ref[1, :][:, None]
+    dz = d_ref[2, :][:, None]
+
+    best_t = out_ref[0, :]
+    best_tri = jax.lax.bitcast_convert_type(out_ref[1, :], jnp.int32)
+
+    for tile in range(CLUSTER_SIZE // TRI_TILE):
+        tb = tri_ref[:, pl.ds(tile * TRI_TILE, TRI_TILE)]
+        v0x = tb[0, :][None, :]
+        v0y = tb[1, :][None, :]
+        v0z = tb[2, :][None, :]
+        e1x = tb[3, :][None, :]
+        e1y = tb[4, :][None, :]
+        e1z = tb[5, :][None, :]
+        e2x = tb[6, :][None, :]
+        e2y = tb[7, :][None, :]
+        e2z = tb[8, :][None, :]
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= TRI_EPSILON
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        ok &= (u >= 0.0) & (u <= 1.0)
+
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        ok &= (v >= 0.0) & (u + v <= 1.0)
+
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok &= t > TRI_EPSILON
+
+        if mode != 0:
+            nx = e1y * e2z - e1z * e2y
+            ny = e1z * e2x - e1x * e2z
+            nz = e1x * e2y - e1y * e2x
+            facing = nx * dx + ny * dy + nz * dz
+            if mode == 1:
+                ok &= facing < 0.0
+            else:
+                ok &= facing > 0.0
+
+        t = jnp.where(ok & (t > MIN_T), t, 1e30)
+        tc = jnp.min(t, axis=1)
+        tids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        ci = jnp.min(jnp.where(t <= tc[:, None], tids, TRI_TILE), axis=1)
+
+        better = tc < best_t
+        best_t = jnp.where(better, tc, best_t)
+        best_tri = jnp.where(
+            better, cluster * CLUSTER_SIZE + tile * TRI_TILE + ci,
+            best_tri)
+
+    out_ref[0, :] = best_t
+    out_ref[1, :] = jax.lax.bitcast_convert_type(best_tri, jnp.float32)
 
 
-def _shortlists(mask, k=None):
-    """mask [NB, C] -> (ids [NB, K] i32, counts [NB] i32, overflow [NB] bool).
+STREAM_K = 1024  # per-block worklist capacity (= the 1D DMA row stride)
 
-    ids holds the first K overlapped cluster indices ascending; dummy tail
-    slots repeat the last real id (so consecutive grid steps reuse the same
-    VMEM tile and Mosaic skips the DMA)."""
+
+def mesh_exit_t(origins, dirs, cluster_bounds, active):
+    """Per-ray exit t from the whole-mesh AABB (union of cluster bounds);
+    0 where the ray misses the bbox entirely or is inactive. The cap for
+    the streaming kernel's early-out bound."""
+    lo = jnp.min(cluster_bounds[0:3], axis=1)
+    hi = jnp.max(jnp.where(cluster_bounds[3:6] < cluster_bounds[0:3],
+                           -jnp.inf, cluster_bounds[3:6]), axis=1)
+    d_safe = jnp.where(jnp.abs(dirs) < 1e-30,
+                       jnp.where(dirs < 0, -1e-30, 1e-30), dirs)
+    inv = 1.0 / d_safe
+    t0 = (lo[:, None] - origins) * inv
+    t1 = (hi[:, None] - origins) * inv
+    tmin = jnp.maximum(jnp.minimum(t0, t1).max(axis=0), 0.0)
+    tmax = jnp.maximum(t0, t1).min(axis=0)
+    ok = tmax >= tmin
+    if active is not None:
+        ok &= active
+    return jnp.where(ok, tmax, 0.0)
+
+
+def _stream_worklist(mask, btmin, kmax: int):
+    """mask/btmin [NB, C] -> (ids [NB*K] i32 t-ascending, tmins [NB*K] f32
+    (+inf pad), counts [NB] i32 clamped to K, overflow [NB] bool).
+
+    Rows are flattened to 1D with a 1024-element stride: Mosaic requires
+    DMA slices to be tile-aligned; [NB, K] arrays carry an (8, 128) tiling
+    whose single-row slices are illegal, and 1D i32/f32 arrays are tiled
+    (1024), so rows live at 1024-multiple offsets."""
     nb, c = mask.shape
-    k = min(SHORTLIST_K, c) if k is None else k
-    iota = jax.lax.broadcasted_iota(jnp.int32, (nb, c), 1)
-    ranked = jnp.sort(jnp.where(mask, iota, jnp.int32(c)), axis=1)[:, :k]
-    counts = jnp.sum(mask, axis=1).astype(jnp.int32)
-    overflow = counts > k
-    kept = jnp.minimum(counts, k)
-    last = jnp.take_along_axis(
-        ranked, jnp.clip(kept - 1, 0, k - 1)[:, None], axis=1)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
-    # Dummy slots must still be VALID DMA targets: clamp into [0, c) (an
-    # all-empty block's "last real id" is the out-of-range sentinel c).
-    ids = jnp.where(slot < kept[:, None], ranked, jnp.clip(last, 0, c - 1))
-    return ids.astype(jnp.int32), kept, overflow
+    k = 1024
+    rank = jnp.where(mask, btmin, jnp.inf)
+    order = jnp.argsort(rank, axis=1).astype(jnp.int32)
+    if k > c:
+        order = jnp.pad(order, ((0, 0), (0, k - c)))
+        rank_sorted = jnp.take_along_axis(rank, order[:, :c], axis=1)
+        tmins = jnp.pad(rank_sorted, ((0, 0), (0, k - c)),
+                        constant_values=jnp.inf)
+    else:
+        order = order[:, :k]
+        tmins = jnp.take_along_axis(rank, order, axis=1)
+    raw = jnp.sum(mask, axis=1).astype(jnp.int32)
+    kcap = min(kmax, c, k)
+    return (order.reshape(-1), tmins.reshape(-1),
+            jnp.minimum(raw, kcap), raw > kcap)
 
 
-# ---------------------------------------------------------------------------
-# Level 1: worklist kernel
-# ---------------------------------------------------------------------------
-
-def _cluster_kernel(ids_ref, counts_ref, o_ref, d_ref, tri_ref, out_ref, *,
-                    mode: int, k: int):
+def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_hbm, o_ref, d_ref,
+                   exit_ref, out_ref, ids_s, tmin_s, tile_v, row_sem,
+                   tile_sem, *, mode: int):
     i = pl.program_id(0)
-    j = pl.program_id(1)
+    cnt = counts_ref[i]
+    k = ids_s.shape[0]
 
-    @pl.when(j == 0)
-    def _init():
-        out_ref[0, :] = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
-        out_ref[1, :] = jnp.zeros((BLOCK_RAYS,), jnp.float32)
+    row1 = pltpu.make_async_copy(ids_hbm.at[pl.ds(i * k, k)], ids_s,
+                                 row_sem.at[0])
+    row2 = pltpu.make_async_copy(tmin_hbm.at[pl.ds(i * k, k)], tmin_s,
+                                 row_sem.at[1])
+    row1.start()
+    row2.start()
+    out_ref[0, :] = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
+    out_ref[1, :] = jnp.zeros((BLOCK_RAYS,), jnp.float32)
+    row1.wait()
+    row2.wait()
 
-    @pl.when(j < counts_ref[i])
-    def _sweep():
-        cluster = ids_ref[i * k + j]
-        ox = o_ref[0, :][:, None]
-        oy = o_ref[1, :][:, None]
-        oz = o_ref[2, :][:, None]
-        dx = d_ref[0, :][:, None]
-        dy = d_ref[1, :][:, None]
-        dz = d_ref[2, :][:, None]
+    def tile_dma(cl):
+        return pltpu.make_async_copy(
+            tris_hbm.at[:, pl.ds(cl * CLUSTER_SIZE, CLUSTER_SIZE)],
+            tile_v, tile_sem)
 
-        best_t = out_ref[0, :]
-        best_tri = jax.lax.bitcast_convert_type(out_ref[1, :], jnp.int32)
+    def cond(state):
+        j, go = state
+        return go
 
-        for tile in range(CLUSTER_SIZE // TRI_TILE):
-            tb = tri_ref[:, pl.ds(tile * TRI_TILE, TRI_TILE)]
-            v0x = tb[0, :][None, :]
-            v0y = tb[1, :][None, :]
-            v0z = tb[2, :][None, :]
-            e1x = tb[3, :][None, :]
-            e1y = tb[4, :][None, :]
-            e1z = tb[5, :][None, :]
-            e2x = tb[6, :][None, :]
-            e2y = tb[7, :][None, :]
-            e2z = tb[8, :][None, :]
+    def body(state):
+        j, _ = state
+        dma = tile_dma(ids_s[j])
+        dma.start()
+        dma.wait()
+        _sweep_cluster(ids_s[j], o_ref, d_ref, tile_v, out_ref, mode)
+        nj = j + 1
+        # Front-to-back early-out — a real BREAK, unlike the grid-step
+        # kernels' predication. Each ray's contribution to the block bound
+        # is capped by its whole-mesh-AABB exit t: a ray that has missed
+        # everything so far holds best_t = 1e30, but nothing can hit beyond
+        # its bbox exit, so it must not poison the bound. The margin keeps
+        # the prune conservative under FP reassociation between the slab
+        # entry-t and the Moeller-Trumbore t.
+        bound = jnp.max(jnp.minimum(out_ref[0, :], exit_ref[0, :]))
+        go = (nj < cnt) & (bound > tmin_s[nj] * (1.0 - 1e-4) - 1e-4)
+        return nj, go
 
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            ok = jnp.abs(det) >= TRI_EPSILON
-            inv_det = 1.0 / jnp.where(ok, det, 1.0)
-
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            ok &= (u >= 0.0) & (u <= 1.0)
-
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            ok &= (v >= 0.0) & (u + v <= 1.0)
-
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok &= t > TRI_EPSILON
-
-            if mode != 0:
-                nx = e1y * e2z - e1z * e2y
-                ny = e1z * e2x - e1x * e2z
-                nz = e1x * e2y - e1y * e2x
-                facing = nx * dx + ny * dy + nz * dz
-                if mode == 1:
-                    ok &= facing < 0.0
-                else:
-                    ok &= facing > 0.0
-
-            t = jnp.where(ok & (t > MIN_T), t, 1e30)
-            tc = jnp.min(t, axis=1)
-            tids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            ci = jnp.min(jnp.where(t <= tc[:, None], tids, TRI_TILE), axis=1)
-
-            better = tc < best_t
-            best_t = jnp.where(better, tc, best_t)
-            best_tri = jnp.where(
-                better, cluster * CLUSTER_SIZE + tile * TRI_TILE + ci,
-                best_tri)
-
-        out_ref[0, :] = best_t
-        out_ref[1, :] = jax.lax.bitcast_convert_type(best_tri, jnp.float32)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), cnt > 0))
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "k"))
-def trace_clusters_pallas(origins, dirs, tris_packed, ids, counts,
-                          mode: int, k: int):
-    """origins/dirs [3, Npad]; tris_packed [9, C*CLUSTER_SIZE];
-    ids [NB*k] i32 shortlists; counts [NB] i32.
-    Returns (best_t [Npad], best_tri [Npad])."""
+@functools.partial(jax.jit, static_argnames=("mode",))
+def trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
+                          exit_t, mode: int):
+    """origins/dirs [3, Npad]; tris_packed [9, C*CLUSTER_SIZE] (HBM);
+    ids/tmins [NB*K] + counts [NB] from `_stream_worklist`; exit_t [Npad]
+    per-ray whole-mesh-AABB exit t (0 for rays that miss the bbox or are
+    inactive). Returns (best_t [Npad], best_tri [Npad]); rays in blocks with
+    count 0 correctly report miss (out is initialized per block)."""
     n = origins.shape[1]
     nb = n // BLOCK_RAYS
-    grid = (nb, k)
+    k = ids.shape[0] // nb
+    # DMA sublane slices must be 8-aligned: pad the 9 packed rows to 16.
+    tris16 = jnp.pad(tris_packed, ((0, 16 - tris_packed.shape[0]), (0, 0)))
 
-    def ray_map(i, j, ids_ref, counts_ref):
+    def ray_map(i, counts_ref):
         return (0, i)
 
-    def tri_map(i, j, ids_ref, counts_ref):
-        return (0, ids_ref[i * k + j])
-
     out = pl.pallas_call(
-        functools.partial(_cluster_kernel, mode=mode, k=k),
+        functools.partial(_stream_kernel, mode=mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
+            num_scalar_prefetch=1,
+            grid=(nb,),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                 pl.BlockSpec((3, BLOCK_RAYS), ray_map),
                 pl.BlockSpec((3, BLOCK_RAYS), ray_map),
-                pl.BlockSpec((9, CLUSTER_SIZE), tri_map),
+                pl.BlockSpec((1, BLOCK_RAYS), ray_map),
             ],
             out_specs=pl.BlockSpec((2, BLOCK_RAYS), ray_map),
+            scratch_shapes=[
+                pltpu.SMEM((k,), jnp.int32),
+                pltpu.SMEM((k,), jnp.float32),
+                pltpu.VMEM((16, CLUSTER_SIZE), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((2, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=int(n) * int(k) * CLUSTER_SIZE * 45 // 4,
+            flops=int(n) * 64 * CLUSTER_SIZE * 45 // 4,
             bytes_accessed=int(n) * 32 + 9 * int(tris_packed.shape[1]) * 4,
             transcendentals=0),
-    )(ids, counts, origins, dirs, tris_packed)
+    )(counts, ids, tmins, tris16, origins, dirs, exit_t[None, :])
     return out[0], jax.lax.bitcast_convert_type(out[1], jnp.int32)

@@ -336,16 +336,17 @@ def _trace_dense_xla(mesh, origins, dirs, mode: int, active) -> TraceResult:
 # Two-level clustered dense path (large meshes, TPU)
 # ---------------------------------------------------------------------------
 
-_SORT_BITS = 3  # origin-morton bits per axis in the ray sort key
+_SORT_BITS = 4  # morton bits per axis in the ray sort key
 
 
 def _ray_sort_order(origins, dirs, active):
-    """Stable sort order grouping rays by direction octant + origin morton
-    cell, so 512-ray blocks of INCOHERENT rays (bounce batches) still build
-    small cluster shortlists. The equivalent of the ray-sorting wavefront
-    path tracers use on GPUs; camera-ray batches keep their image-space
-    coherence because the sort is stable and all origins share one cell.
-    Inactive rays sort to the end (they are masked out of shortlists)."""
+    """Stable sort order grouping rays by direction octant, origin morton
+    cell, then DIRECTION morton cell, so 512-ray blocks form tight spatial
+    frusta and build small cluster shortlists. The equivalent of the
+    ray-sorting wavefront path tracers use on GPUs. Camera batches share one
+    origin cell, so the direction bits take over and blocks become image
+    tiles; bounce batches group by surface locality first. Inactive rays
+    sort to the end (they are masked out of shortlists)."""
     n = origins.shape[1]
     octant = ((dirs[0] < 0).astype(jnp.int32) * 4 +
               (dirs[1] < 0).astype(jnp.int32) * 2 +
@@ -364,18 +365,30 @@ def _ray_sort_order(origins, dirs, active):
     scale = cells / jnp.maximum(hi - lo, 1e-12)
     q = jnp.clip(((origins - lo[:, None]) * scale[:, None]).astype(jnp.int32),
                  0, cells - 1)
-    morton = jnp.zeros((n,), jnp.int32)
+    qd = jnp.clip((jnp.abs(dirs) * cells).astype(jnp.int32), 0, cells - 1)
+    omorton = jnp.zeros((n,), jnp.int32)
+    dmorton = jnp.zeros((n,), jnp.int32)
     for b in range(_SORT_BITS):
         for a in range(3):
-            morton |= ((q[a] >> b) & 1) << (3 * b + (2 - a))
-    key = (octant << (3 * _SORT_BITS)) | morton
+            omorton |= ((q[a] >> b) & 1) << (3 * b + (2 - a))
+            dmorton |= ((qd[a] >> b) & 1) << (3 * b + (2 - a))
+    key = (octant << (6 * _SORT_BITS)) | (omorton << (3 * _SORT_BITS)) \
+        | dmorton
     if active is not None:
-        key = jnp.where(active, key, jnp.int32(1) << 20)
+        key = jnp.where(active, key, jnp.int32(1) << 24)
     return jnp.argsort(key)
 
 
+_CHUNK_RAYS = 512 * 512  # 262,144 rays per clustered-trace chunk
+
+
 def _trace_two_level(mesh, origins, dirs, mode: int, active) -> TraceResult:
-    """Octant/morton-sorted rays -> clustered dense trace -> unsort."""
+    """Octant/morton-sorted rays -> clustered dense trace -> unsort.
+
+    Batches beyond _CHUNK_RAYS run as a lax.map over sorted contiguous
+    chunks: one kernel compilation, bounded [NB, C] mask intermediates and
+    bounded scalar-prefetch worklists (the SMEM budget), and the sort means
+    each chunk stays spatially coherent."""
     n = origins.shape[1]
     order = _ray_sort_order(origins, dirs, active)
     inv = jnp.zeros((n,), order.dtype).at[order].set(
@@ -383,17 +396,36 @@ def _trace_two_level(mesh, origins, dirs, mode: int, active) -> TraceResult:
     o_s = jnp.take(origins, order, axis=1)
     d_s = jnp.take(dirs, order, axis=1)
     act_s = jnp.take(active, order) if active is not None else None
-    res = _trace_two_level_impl(mesh, o_s, d_s, mode, act_s)
+
+    if n > _CHUNK_RAYS:
+        m = -(-n // _CHUNK_RAYS)
+        n_pad = m * _CHUNK_RAYS
+        if act_s is None:
+            act_s = jnp.ones((n,), bool)
+        o_s = jnp.pad(o_s, ((0, 0), (0, n_pad - n)))
+        d_s = jnp.pad(d_s, ((0, 0), (0, n_pad - n)))
+        act_s = jnp.pad(act_s, (0, n_pad - n))
+        o_c = o_s.reshape(3, m, _CHUNK_RAYS).transpose(1, 0, 2)
+        d_c = d_s.reshape(3, m, _CHUNK_RAYS).transpose(1, 0, 2)
+        a_c = act_s.reshape(m, _CHUNK_RAYS)
+        res = jax.lax.map(
+            lambda args: _trace_two_level_impl(
+                mesh, args[0], args[1], mode, args[2]),
+            (o_c, d_c, a_c))
+        res = TraceResult(*(x.reshape(-1)[:n] for x in res))
+    else:
+        res = _trace_two_level_impl(mesh, o_s, d_s, mode, act_s)
     return TraceResult(t=jnp.take(res.t, inv), tri=jnp.take(res.tri, inv),
                        u=jnp.take(res.u, inv), v=jnp.take(res.v, inv),
                        hit=jnp.take(res.hit, inv))
 
 
 def _trace_two_level_impl(mesh, origins, dirs, mode: int, active) -> TraceResult:
-    """Cluster-AABB shortlist + per-cluster dense Pallas sweep
-    (ops/trace_cluster.py); rays in blocks whose shortlist overflowed are
-    re-traced by the BVH walk (usually zero rays -> the masked while_loop
-    exits immediately). Replaces the role of OptiX GAS for >16k-tri meshes."""
+    """Cluster-AABB pooled worklist + per-cluster dense Pallas sweep
+    (ops/trace_cluster.py); rays in blocks whose worklist entries were
+    truncated by the pool budget are re-traced by the BVH walk (usually zero
+    rays -> the masked while_loop exits immediately). Replaces the role of
+    OptiX GAS for >16k-tri meshes."""
     from . import trace_cluster as tc
 
     n = origins.shape[1]
@@ -418,21 +450,46 @@ def _trace_two_level_impl(mesh, origins, dirs, mode: int, active) -> TraceResult
     if t_pad != num_tris:
         tp = jnp.pad(tp, ((0, 0), (0, t_pad - num_tris)))
 
-    mask = tc._block_cluster_mask(o, d, mesh.cluster_bounds, act_pad)
-    ids, counts, overflow = tc._shortlists(mask, tc.shortlist_capacity(c))
-    best_t, best_tri = tc.trace_clusters_pallas(
-        o, d, tp, ids.reshape(-1), counts, mode, ids.shape[1])
+    mask, btmin = tc._block_cluster_mask(o, d, mesh.cluster_bounds, act_pad,
+                                         with_tmin=True)
+    ids, tmins, counts, overflow = tc._stream_worklist(mask, btmin,
+                                                       tc.STREAM_K)
+    exit_t = tc.mesh_exit_t(o, d, mesh.cluster_bounds, act_pad)
+    best_t, best_tri = tc.trace_clusters_stream(
+        o, d, tp, ids, tmins, counts, exit_t, mode)
     best_t = best_t[:n]
     best_tri = jnp.clip(best_tri[:n], 0, num_tris - 1)
 
-    # Exactness fallback: rays in overflowed blocks walk the BVH (active-
-    # masked; zero-iteration when nothing overflowed).
+    # Exactness fallback: rays in budget-truncated blocks walk the BVH.
+    # A full-batch masked walk would pay the whole while_loop's vector cost
+    # even for one overflowed block, so the overflow rays are COMPACTED into
+    # an n/16 buffer first (the march-compaction pattern); the rare case of
+    # more overflow rays than the buffer escalates to the full masked walk
+    # under lax.cond.
     over_rays = jnp.repeat(overflow, tc.BLOCK_RAYS)[:n]
     if active is not None:
         over_rays &= active
-    walk = _trace_bvh(mesh, origins, dirs, mode, over_rays)
-    best_t = jnp.where(over_rays, walk.t, best_t)
-    best_tri = jnp.where(over_rays, walk.tri, best_tri)
+    cap = min(n, max(tc.BLOCK_RAYS, n // 16))
+    n_over = jnp.sum(over_rays)
+
+    def walk_compacted(args):
+        bt, btri = args
+        idx = jnp.nonzero(over_rays, size=cap, fill_value=0)[0]
+        valid = jnp.arange(cap) < n_over
+        w = _trace_bvh(mesh, jnp.take(origins, idx, axis=1),
+                       jnp.take(dirs, idx, axis=1), mode, valid)
+        bt = bt.at[idx].set(jnp.where(valid, w.t, bt[idx]))
+        btri = btri.at[idx].set(jnp.where(valid, w.tri, btri[idx]))
+        return bt, btri
+
+    def walk_full(args):
+        bt, btri = args
+        w = _trace_bvh(mesh, origins, dirs, mode, over_rays)
+        return (jnp.where(over_rays, w.t, bt),
+                jnp.where(over_rays, w.tri, btri))
+
+    best_t, best_tri = jax.lax.cond(
+        n_over <= cap, walk_compacted, walk_full, (best_t, best_tri))
 
     hit = best_t < 1e30
     if active is not None:

@@ -1,8 +1,9 @@
 """Two-level clustered dense tracing (ops/trace_cluster.py).
 
-Level-0 logic (cluster bounds, shortlists, overflow) is pure XLA/numpy and
-tests everywhere; the Pallas sweep parity runs on TPU (CPU platforms
-dispatch large meshes to the BVH walk, covered by test_mesh_and_bvh)."""
+Level-0 logic (cluster bounds, t-ordered worklists, overflow) is pure
+XLA/numpy and tests everywhere; the Pallas streaming-sweep parity runs on
+TPU (CPU platforms dispatch large meshes to the BVH walk, covered by
+test_mesh_and_bvh)."""
 
 import numpy as np
 import pytest
@@ -40,27 +41,50 @@ def test_cluster_bounds_padding_never_hits():
     assert (cb2[0:3] > cb2[3:6]).all()
 
 
-def test_shortlists_basic_and_overflow(monkeypatch):
-    monkeypatch.setattr(tc, "SHORTLIST_K", 3)
-    mask = np.zeros((2, 8), bool)
-    mask[0, [1, 4]] = True            # 2 clusters: fits
-    mask[1, [0, 2, 5, 7]] = True      # 4 clusters: overflows K=3
-    ids, counts, overflow = jax.tree_util.tree_map(
-        np.asarray, tc._shortlists(jnp.asarray(mask)))
+def test_stream_worklist_t_order_and_padding():
+    mask = np.zeros((2, 5), bool)
+    mask[0, [1, 3]] = True
+    mask[1, [0, 2, 4]] = True
+    tmin = np.full((2, 5), np.inf, np.float32)
+    tmin[0, [1, 3]] = [7.0, 2.0]          # cluster 3 is nearer: comes first
+    tmin[1, [0, 2, 4]] = [5.0, 1.0, 3.0]
+    ids, tmins, counts, overflow = jax.tree_util.tree_map(
+        np.asarray, tc._stream_worklist(jnp.asarray(mask),
+                                        jnp.asarray(tmin), 1024))
+    k = ids.shape[0] // 2
+    assert k % 1024 == 0                  # 1D DMA rows are 1024-aligned
     assert counts.tolist() == [2, 3]
-    assert overflow.tolist() == [False, True]
-    assert ids[0, :2].tolist() == [1, 4]
-    assert ids[0, 2] == 4            # dummy slot repeats last real id
-    assert ids[1].tolist() == [0, 2, 5]
+    assert not overflow.any()
+    assert ids[:2].tolist() == [3, 1]
+    assert tmins[:2].tolist() == [2.0, 7.0]
+    assert ids[k:k + 3].tolist() == [2, 4, 0]
+    assert tmins[k:k + 3].tolist() == [1.0, 3.0, 5.0]
+    assert np.isinf(tmins[2:5]).all()     # dead slots carry +inf
 
 
-def test_shortlists_empty_block():
-    mask = np.zeros((1, 8), bool)
-    ids, counts, overflow = jax.tree_util.tree_map(
-        np.asarray, tc._shortlists(jnp.asarray(mask)))
-    assert counts.tolist() == [0]
-    assert not overflow[0]
-    assert (ids >= 0).all() and (ids < 8).all()
+def test_stream_worklist_overflow_clamps_counts():
+    mask = np.ones((1, 6), bool)
+    tmin = np.arange(6, dtype=np.float32)[None]
+    ids, tmins, counts, overflow = jax.tree_util.tree_map(
+        np.asarray, tc._stream_worklist(jnp.asarray(mask),
+                                        jnp.asarray(tmin), 4))
+    assert counts.tolist() == [4]
+    assert overflow.tolist() == [True]
+    assert ids[:4].tolist() == [0, 1, 2, 3]
+
+
+def test_mesh_exit_t_caps_and_masks():
+    cb = jnp.asarray(np.array(
+        [[-1.0], [-1.0], [-1.0], [1.0], [1.0], [1.0]], np.float32))
+    o = jnp.asarray(np.array([[0, 0, 5], [0, 0, 0], [-3, -3, 0]], np.float32))
+    d = jnp.asarray(np.array([[0, 0, 0], [0, 0, 1], [1, 1, 0]], np.float32))
+    # ray0: inside box heading +z -> exit at z=1 -> t=4 from origin z=-3
+    # ray1: misses entirely (parallel, outside) -> 0
+    # ray2: starts at x=5 heading +y -> misses -> 0
+    ex = np.asarray(tc.mesh_exit_t(o, d, cb, jnp.asarray([True, False, True])))
+    np.testing.assert_allclose(ex[0], 4.0, rtol=1e-6)
+    assert ex[1] == 0.0                   # inactive is masked to 0
+    assert ex[2] == 0.0
 
 
 def test_block_cluster_mask_matches_per_ray(rng):
@@ -123,9 +147,9 @@ def test_two_level_matches_brute_tpu(mode):
 @pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
                     reason="two-level Pallas sweep requires the TPU backend")
 def test_two_level_overflow_fallback_exact(monkeypatch):
-    """Force shortlist overflow (K=2) — the BVH-walk fallback must keep the
-    result exact."""
-    monkeypatch.setattr(tc, "SHORTLIST_K", 2)
+    """Force worklist truncation (STREAM_K=2) — the compacted BVH-walk
+    fallback must keep the result exact."""
+    monkeypatch.setattr(tc, "STREAM_K", 2)
     arrays = _big_mesh()
     o, d = _rays(1024, seed=7)
     res = jax.jit(lambda o, d: traversal.trace_mesh(arrays, o, d,
