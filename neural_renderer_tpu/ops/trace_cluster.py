@@ -147,9 +147,12 @@ def _block_cluster_mask(origins, dirs, cluster_bounds, active,
 # Level 1: streaming kernel (one grid step per ray block)
 # ---------------------------------------------------------------------------
 
-def _sweep_cluster(cluster, o_ref, d_ref, tri_ref, out_ref, mode: int):
-    """Register-tiled Moeller-Trumbore of one ray block against the cluster
-    tile currently in VMEM; accumulates best-t/tri into out_ref."""
+def _sweep_cluster(cluster, o_ref, d_ref, tri_ref, out_ref, mode: int,
+                   base=0):
+    """Register-tiled Moeller-Trumbore of one ray block against one cluster;
+    accumulates best-t/tri into out_ref. tri_ref is either a DMA'd scratch
+    tile (base=0) or the whole VMEM-resident triangle array (base = the
+    cluster's column offset)."""
     ox = o_ref[0, :][:, None]
     oy = o_ref[1, :][:, None]
     oz = o_ref[2, :][:, None]
@@ -161,7 +164,7 @@ def _sweep_cluster(cluster, o_ref, d_ref, tri_ref, out_ref, mode: int):
     best_tri = jax.lax.bitcast_convert_type(out_ref[1, :], jnp.int32)
 
     for tile in range(CLUSTER_SIZE // TRI_TILE):
-        tb = tri_ref[:, pl.ds(tile * TRI_TILE, TRI_TILE)]
+        tb = tri_ref[:, pl.ds(base + tile * TRI_TILE, TRI_TILE)]
         v0x = tb[0, :][None, :]
         v0y = tb[1, :][None, :]
         v0z = tb[2, :][None, :]
@@ -268,9 +271,9 @@ def _stream_worklist(mask, btmin, kmax: int):
             jnp.minimum(raw, kcap), raw > kcap)
 
 
-def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_hbm, o_ref, d_ref,
+def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_ref, o_ref, d_ref,
                    exit_ref, out_ref, ids_s, tmin_s, tile_v, row_sem,
-                   tile_sem, *, mode: int):
+                   tile_sem, *, mode: int, resident: bool):
     i = pl.program_id(0)
     cnt = counts_ref[i]
     k = ids_s.shape[0]
@@ -288,7 +291,7 @@ def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_hbm, o_ref, d_ref,
 
     def tile_dma(cl):
         return pltpu.make_async_copy(
-            tris_hbm.at[:, pl.ds(cl * CLUSTER_SIZE, CLUSTER_SIZE)],
+            tris_ref.at[:, pl.ds(cl * CLUSTER_SIZE, CLUSTER_SIZE)],
             tile_v, tile_sem)
 
     def cond(state):
@@ -297,10 +300,16 @@ def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_hbm, o_ref, d_ref,
 
     def body(state):
         j, _ = state
-        dma = tile_dma(ids_s[j])
-        dma.start()
-        dma.wait()
-        _sweep_cluster(ids_s[j], o_ref, d_ref, tile_v, out_ref, mode)
+        if resident:
+            # Triangles live whole in VMEM: slice tiles directly — no DMA,
+            # ~4x cheaper per cluster (measured round 2, BASELINE.md).
+            _sweep_cluster(ids_s[j], o_ref, d_ref, tris_ref, out_ref, mode,
+                           base=ids_s[j] * CLUSTER_SIZE)
+        else:
+            dma = tile_dma(ids_s[j])
+            dma.start()
+            dma.wait()
+            _sweep_cluster(ids_s[j], o_ref, d_ref, tile_v, out_ref, mode)
         nj = j + 1
         # Front-to-back early-out — a real BREAK, unlike the grid-step
         # kernels' predication. Each ray's contribution to the block bound
@@ -316,32 +325,46 @@ def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_hbm, o_ref, d_ref,
     jax.lax.while_loop(cond, body, (jnp.int32(0), cnt > 0))
 
 
+# Triangle arrays at or below this VMEM-resident budget are passed whole to
+# the streaming kernels (4.7 MB of the ~16 MB/core VMEM at the cap); larger
+# meshes stream 256-triangle tiles by DMA.
+RESIDENT_MAX_TRIS = 131072
+
+
 @functools.partial(jax.jit, static_argnames=("mode",))
 def trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
                           exit_t, mode: int):
-    """origins/dirs [3, Npad]; tris_packed [9, C*CLUSTER_SIZE] (HBM);
-    ids/tmins [NB*K] + counts [NB] from `_stream_worklist`; exit_t [Npad]
-    per-ray whole-mesh-AABB exit t (0 for rays that miss the bbox or are
-    inactive). Returns (best_t [Npad], best_tri [Npad]); rays in blocks with
-    count 0 correctly report miss (out is initialized per block)."""
+    """origins/dirs [3, Npad]; tris_packed [9, C*CLUSTER_SIZE] (HBM or VMEM
+    by size); ids/tmins [NB*K] + counts [NB] from `_stream_worklist`; exit_t
+    [Npad] per-ray whole-mesh-AABB exit t (0 for rays that miss the bbox or
+    are inactive). Returns (best_t [Npad], best_tri [Npad]); rays in blocks
+    with count 0 correctly report miss (out is initialized per block)."""
     n = origins.shape[1]
     nb = n // BLOCK_RAYS
     k = ids.shape[0] // nb
-    # DMA sublane slices must be 8-aligned: pad the 9 packed rows to 16.
-    tris16 = jnp.pad(tris_packed, ((0, 16 - tris_packed.shape[0]), (0, 0)))
+    resident = tris_packed.shape[1] <= RESIDENT_MAX_TRIS
+    if resident:
+        tris_in = tris_packed
+        tri_spec = pl.BlockSpec((9, tris_packed.shape[1]),
+                                lambda i, c_ref: (0, 0),
+                                memory_space=pltpu.MemorySpace.VMEM)
+    else:
+        # DMA sublane slices must be 8-aligned: pad the 9 rows to 16.
+        tris_in = jnp.pad(tris_packed, ((0, 7), (0, 0)))
+        tri_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
 
     def ray_map(i, counts_ref):
         return (0, i)
 
     out = pl.pallas_call(
-        functools.partial(_stream_kernel, mode=mode),
+        functools.partial(_stream_kernel, mode=mode, resident=resident),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                tri_spec,
                 pl.BlockSpec((3, BLOCK_RAYS), ray_map),
                 pl.BlockSpec((3, BLOCK_RAYS), ray_map),
                 pl.BlockSpec((1, BLOCK_RAYS), ray_map),
@@ -360,5 +383,192 @@ def trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
             flops=int(n) * 64 * CLUSTER_SIZE * 45 // 4,
             bytes_accessed=int(n) * 32 + 9 * int(tris_packed.shape[1]) * 4,
             transcendentals=0),
-    )(counts, ids, tmins, tris16, origins, dirs, exit_t[None, :])
+    )(counts, ids, tmins, tris_in, origins, dirs, exit_t[None, :])
     return out[0], jax.lax.bitcast_convert_type(out[1], jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Clustered dual-mesh dual-facing t-only sweep (shell march queries)
+# ---------------------------------------------------------------------------
+#
+# Same streaming architecture, but the output is the shell-march quadruple
+# (outer_fwd, outer_bwd, inner_fwd, inner_bwd) closest-crossing t's instead
+# of a hit record: clusters of BOTH shells share one id space (outer first),
+# and each swept tile updates the outer or inner pair by its cluster id.
+# No early-out (all four mins must be exact), but the cluster prefilter
+# already cuts per-block triangle work to the block's frustum footprint —
+# the dense sweep_shells_pallas pays O(N * T_outer+T_inner) regardless.
+
+
+def _sweep4_cluster(cluster, outer_clusters: int, o_ref, d_ref, tri_ref,
+                    out_ref, base=0, with_fwd2=True):
+    """t-only dual-facing Moeller-Trumbore of one ray block against one
+    cluster; folds mins into out_ref rows (of, ob, if, ib, of2 = second
+    outer forward). tri_ref/base as in _sweep_cluster."""
+    ox = o_ref[0, :][:, None]
+    oy = o_ref[1, :][:, None]
+    oz = o_ref[2, :][:, None]
+    dx = d_ref[0, :][:, None]
+    dy = d_ref[1, :][:, None]
+    dz = d_ref[2, :][:, None]
+
+    t_fwd = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
+    t_bwd = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
+    t_fwd2 = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
+
+    for tile in range(CLUSTER_SIZE // TRI_TILE):
+        tb = tri_ref[:, pl.ds(base + tile * TRI_TILE, TRI_TILE)]
+        v0x = tb[0, :][None, :]
+        v0y = tb[1, :][None, :]
+        v0z = tb[2, :][None, :]
+        e1x = tb[3, :][None, :]
+        e1y = tb[4, :][None, :]
+        e1z = tb[5, :][None, :]
+        e2x = tb[6, :][None, :]
+        e2y = tb[7, :][None, :]
+        e2z = tb[8, :][None, :]
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= TRI_EPSILON
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        ok &= (u >= 0.0) & (u <= 1.0)
+
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        ok &= (v >= 0.0) & (u + v <= 1.0)
+
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok &= (t > TRI_EPSILON) & (t > MIN_T)
+
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        facing = nx * dx + ny * dy + nz * dz
+
+        tf = jnp.where(ok & (facing < 0.0), t, 1e30)
+        tile_fwd = jnp.min(tf, axis=1)
+        if with_fwd2:
+            # Second-smallest forward t in this tile (mask one min instance).
+            ids = jax.lax.broadcasted_iota(jnp.int32, tf.shape, 1)
+            ci = jnp.min(jnp.where(tf <= tile_fwd[:, None], ids, TRI_TILE),
+                         axis=1)
+            tile_fwd2 = jnp.min(jnp.where(ids == ci[:, None], 1e30, tf),
+                                axis=1)
+            t_fwd2 = jnp.minimum(jnp.maximum(t_fwd, tile_fwd),
+                                 jnp.minimum(t_fwd2, tile_fwd2))
+        t_fwd = jnp.minimum(t_fwd, tile_fwd)
+        t_bwd = jnp.minimum(
+            t_bwd, jnp.min(jnp.where(ok & (facing > 0.0), t, 1e30), axis=1))
+
+    is_outer = cluster < outer_clusters
+
+    @pl.when(is_outer)
+    def _():
+        of = out_ref[0, :]
+        if with_fwd2:
+            out_ref[4, :] = jnp.minimum(jnp.maximum(of, t_fwd),
+                                        jnp.minimum(out_ref[4, :], t_fwd2))
+        out_ref[0, :] = jnp.minimum(of, t_fwd)
+        out_ref[1, :] = jnp.minimum(out_ref[1, :], t_bwd)
+
+    @pl.when(jnp.logical_not(is_outer))
+    def _():
+        out_ref[2, :] = jnp.minimum(out_ref[2, :], t_fwd)
+        out_ref[3, :] = jnp.minimum(out_ref[3, :], t_bwd)
+
+
+def _sweep_stream_kernel(counts_ref, ids_hbm, tris_ref, o_ref, d_ref,
+                         out_ref, ids_s, tile_v, row_sem, tile_sem, *,
+                         outer_clusters: int, resident: bool,
+                         with_fwd2: bool):
+    i = pl.program_id(0)
+    cnt = counts_ref[i]
+    k = ids_s.shape[0]
+
+    row = pltpu.make_async_copy(ids_hbm.at[pl.ds(i * k, k)], ids_s,
+                                row_sem)
+    rows = 5 if with_fwd2 else 4
+    row.start()
+    out_ref[:, :] = jnp.full((rows, BLOCK_RAYS), 1e30, jnp.float32)
+    row.wait()
+
+    def body(j, _):
+        if resident:
+            _sweep4_cluster(ids_s[j], outer_clusters, o_ref, d_ref, tris_ref,
+                            out_ref, base=ids_s[j] * CLUSTER_SIZE,
+                            with_fwd2=with_fwd2)
+        else:
+            dma = pltpu.make_async_copy(
+                tris_ref.at[:, pl.ds(ids_s[j] * CLUSTER_SIZE, CLUSTER_SIZE)],
+                tile_v, tile_sem)
+            dma.start()
+            dma.wait()
+            _sweep4_cluster(ids_s[j], outer_clusters, o_ref, d_ref, tile_v,
+                            out_ref, with_fwd2=with_fwd2)
+        return 0
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("outer_clusters", "with_fwd2"))
+def sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,
+                          outer_clusters: int, with_fwd2: bool = False):
+    """origins/dirs [3, Npad]; tris_packed [9, (Co+Ci)*CLUSTER_SIZE] = outer
+    clusters then inner clusters; ids [NB*K]/counts [NB] from
+    `_stream_worklist` over the CONCATENATED cluster bounds.
+    Returns [5, Npad]: (outer_fwd, outer_bwd, inner_fwd, inner_bwd,
+    outer_fwd2) closest crossing t's, 1e30 on miss."""
+    n = origins.shape[1]
+    nb = n // BLOCK_RAYS
+    k = ids.shape[0] // nb
+    resident = tris_packed.shape[1] <= RESIDENT_MAX_TRIS
+    if resident:
+        tris_in = tris_packed
+        tri_spec = pl.BlockSpec((9, tris_packed.shape[1]),
+                                lambda i, c_ref: (0, 0),
+                                memory_space=pltpu.MemorySpace.VMEM)
+    else:
+        tris_in = jnp.pad(tris_packed, ((0, 7), (0, 0)))
+        tri_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+
+    def ray_map(i, counts_ref):
+        return (0, i)
+
+    rows = 5 if with_fwd2 else 4
+    return pl.pallas_call(
+        functools.partial(_sweep_stream_kernel,
+                          outer_clusters=outer_clusters, resident=resident,
+                          with_fwd2=with_fwd2),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                tri_spec,
+                pl.BlockSpec((3, BLOCK_RAYS), ray_map),
+                pl.BlockSpec((3, BLOCK_RAYS), ray_map),
+            ],
+            out_specs=pl.BlockSpec((rows, BLOCK_RAYS), ray_map),
+            scratch_shapes=[
+                pltpu.SMEM((k,), jnp.int32),
+                pltpu.VMEM((16, CLUSTER_SIZE), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n) * 32 * CLUSTER_SIZE * 50 // 4,
+            bytes_accessed=int(n) * 44 + 9 * int(tris_packed.shape[1]) * 4,
+            transcendentals=0),
+    )(counts, ids, tris_in, origins, dirs)

@@ -102,16 +102,19 @@ def _kernel(o_ref, d_ref, tri_ref, out_ref, *, mode: int, num_tiles: int):
 
 
 def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
-                  num_tiles: int):
+                  num_tiles: int, with_fwd2: bool):
     """Dual-mesh dual-facing sweep: tris_packed = [outer | inner] (each padded
     to TRI_TILE). Emits per-ray nearest FORWARD and BACKWARD hit t for each
-    mesh in one pass — out rows = (outer_fwd, outer_bwd, inner_fwd,
-    inner_bwd), 1e30 on miss. One sweep replaces up to five separate
-    trace_mesh launches in the shell march / early-termination stage
-    (traceSegmentExitsKernel + checkBounceEarlyTerminationKernel +
-    traceOuterShellEntryFromRaysKernel semantics,
-    cuda_renderer_neural.cu:858-930, 503-553, 773-852); exact because an
-    ANY-mode closest hit equals min(forward closest, backward closest)."""
+    mesh in one pass, plus the SECOND-nearest outer forward t — out rows =
+    (outer_fwd, outer_bwd, inner_fwd, inner_bwd, outer_fwd2), 1e30 on miss.
+    One sweep replaces up to five separate trace_mesh launches in the shell
+    march / early-termination stage (traceSegmentExitsKernel +
+    checkBounceEarlyTerminationKernel + traceOuterShellEntryFromRaysKernel
+    semantics, cuda_renderer_neural.cu:858-930, 503-553, 773-852); exact
+    because an ANY-mode closest hit equals min(forward closest, backward
+    closest). outer_fwd2 lets the camera path derive the march's first
+    re-entry without a second launch (crossings alternate on a closed
+    surface)."""
     ox = o_ref[0, :][:, None]
     oy = o_ref[1, :][:, None]
     oz = o_ref[2, :][:, None]
@@ -120,7 +123,7 @@ def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
     dz = d_ref[2, :][:, None]
 
     def tile(c, state):
-        of, ob, inf_, inb = state
+        of, ob, inf_, inb, of2 = state
         tb = tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)]
         v0x = tb[0, :][None, :]
         v0y = tb[1, :][None, :]
@@ -160,37 +163,53 @@ def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
         nz = e1x * e2y - e1y * e2x
         facing = nx * dx + ny * dy + nz * dz
 
-        t_fwd = jnp.min(jnp.where(ok & (facing < 0.0), t, 1e30), axis=1)
+        tf = jnp.where(ok & (facing < 0.0), t, 1e30)
+        t_fwd = jnp.min(tf, axis=1)
         t_bwd = jnp.min(jnp.where(ok & (facing > 0.0), t, 1e30), axis=1)
 
         is_outer = c < num_outer_tiles
+        if with_fwd2:
+            # Second-smallest forward t in this tile: mask ONE instance of
+            # the minimum (by column index) and take the min again, then
+            # merge into the running two smallest outer fwd.
+            ids = jax.lax.broadcasted_iota(jnp.int32, tf.shape, 1)
+            ci = jnp.min(jnp.where(tf <= t_fwd[:, None], ids, TRI_TILE),
+                         axis=1)
+            t_fwd2 = jnp.min(jnp.where(ids == ci[:, None], 1e30, tf), axis=1)
+            new_of2 = jnp.minimum(jnp.maximum(of, t_fwd),
+                                  jnp.minimum(of2, t_fwd2))
+            of2 = jnp.where(is_outer, new_of2, of2)
         of = jnp.where(is_outer, jnp.minimum(of, t_fwd), of)
         ob = jnp.where(is_outer, jnp.minimum(ob, t_bwd), ob)
         inf_ = jnp.where(is_outer, inf_, jnp.minimum(inf_, t_fwd))
         inb = jnp.where(is_outer, inb, jnp.minimum(inb, t_bwd))
-        return of, ob, inf_, inb
+        return of, ob, inf_, inb, of2
 
-    init = tuple(jnp.full((BLOCK_RAYS,), 1e30, jnp.float32) for _ in range(4))
-    of, ob, inf_, inb = jax.lax.fori_loop(0, num_tiles, tile, init)
+    init = tuple(jnp.full((BLOCK_RAYS,), 1e30, jnp.float32) for _ in range(5))
+    of, ob, inf_, inb, of2 = jax.lax.fori_loop(0, num_tiles, tile, init)
     out_ref[0, :] = of
     out_ref[1, :] = ob
     out_ref[2, :] = inf_
     out_ref[3, :] = inb
+    if with_fwd2:
+        out_ref[4, :] = of2
 
 
-@functools.partial(jax.jit, static_argnames=("num_outer_tiles", "num_tiles"))
+@functools.partial(jax.jit, static_argnames=("num_outer_tiles", "num_tiles",
+                                              "with_fwd2"))
 def sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
-                        num_tiles: int):
+                        num_tiles: int, with_fwd2: bool = False):
     """origins/dirs [3, Npad]; tris_packed [9, num_tiles*TRI_TILE] =
-    outer tris (num_outer_tiles tiles) then inner tris. Returns [4, Npad]:
-    (outer_fwd_t, outer_bwd_t, inner_fwd_t, inner_bwd_t)."""
+    outer tris (num_outer_tiles tiles) then inner tris. Returns [5, Npad]:
+    (outer_fwd_t, outer_bwd_t, inner_fwd_t, inner_bwd_t, outer_fwd2_t)."""
     n = origins.shape[1]
     t_total = tris_packed.shape[1]
     grid = (n // BLOCK_RAYS,)
 
+    rows = 5 if with_fwd2 else 4
     return pl.pallas_call(
         functools.partial(_sweep_kernel, num_outer_tiles=num_outer_tiles,
-                          num_tiles=num_tiles),
+                          num_tiles=num_tiles, with_fwd2=with_fwd2),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
@@ -200,9 +219,9 @@ def sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
             pl.BlockSpec((9, t_total), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, BLOCK_RAYS), lambda i: (0, i),
+        out_specs=pl.BlockSpec((rows, BLOCK_RAYS), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=int(n) * int(t_total) * 50,
             bytes_accessed=int(n) * 40 + 9 * int(t_total) * 4,

@@ -45,6 +45,11 @@ TRI_EPSILON = 1e-8
 DENSE_MAX_TRIANGLES = 16384
 _DENSE_TRI_CHUNK = 512
 
+# Shell sweeps switch from the dense dual-mesh kernel to the clustered
+# streaming sweep above this combined triangle count (measured crossover,
+# BASELINE.md round 2).
+_CLUSTERED_SWEEP_MIN_TRIS = 4096
+
 
 class TraceResult(NamedTuple):
     t: jnp.ndarray        # [N] f32, 1e30 on miss
@@ -125,16 +130,20 @@ class ShellSweep(NamedTuple):
     """Nearest-hit t per facing per shell, 1e30 on miss. An ANY-mode closest
     hit is exactly min(fwd, bwd): the determinant cull (|det| >= TRI_EPSILON)
     guarantees facing != 0, so every accepted hit is strictly forward or
-    backward."""
+    backward. outer_fwd2 is the SECOND-nearest outer forward crossing — the
+    camera march derives its first re-entry from it (crossings of a closed
+    surface alternate), skipping a separate trace."""
     outer_fwd: jnp.ndarray  # [N] f32
     outer_bwd: jnp.ndarray
     inner_fwd: jnp.ndarray
     inner_bwd: jnp.ndarray
+    outer_fwd2: jnp.ndarray
 
 
-def _dense_t_only(mesh, origins, dirs, mode: int):
+def _dense_t_only(mesh, origins, dirs, mode: int, two_min: bool = False):
     """XLA twin of the sweep for one (mesh, mode): the `_trace_dense_xla`
-    chunk loop reduced to min-t (no argmin / u / v)."""
+    chunk loop reduced to min-t (no argmin / u / v). With two_min, returns
+    (t1, t2): the two smallest accepted t's."""
     n = origins.shape[1]
     num_tris = mesh.indices.shape[1]
     chunk = min(_DENSE_TRI_CHUNK, max(1, num_tris))
@@ -146,19 +155,29 @@ def _dense_t_only(mesh, origins, dirs, mode: int):
     o = origins[:, :, None]
     d = dirs[:, :, None]
 
-    def body(c, best_t):
+    def body(c, state):
+        t1, t2 = state
         block = jax.lax.dynamic_slice(tp, (0, c * chunk), (9, chunk))
         t, _, _, ok = _mt_from_packed(o, d, block[0:3][:, None, :],
                                       block[3:6][:, None, :],
                                       block[6:9][:, None, :], mode)
         t = jnp.where(ok & (t > MIN_T), t, 1e30)
-        return jnp.minimum(best_t, jnp.min(t, axis=1))
+        m1 = jnp.min(t, axis=1)
+        if two_min:
+            ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            ci = jnp.min(jnp.where(t <= m1[:, None], ids, chunk), axis=1)
+            m2 = jnp.min(jnp.where(ids == ci[:, None], 1e30, t), axis=1)
+            t2 = jnp.minimum(jnp.maximum(t1, m1), jnp.minimum(t2, m2))
+        return jnp.minimum(t1, m1), t2
 
-    return jax.lax.fori_loop(0, num_chunks, body,
-                             jnp.full((n,), 1e30, jnp.float32))
+    init = (jnp.full((n,), 1e30, jnp.float32),
+            jnp.full((n,), 1e30, jnp.float32))
+    t1, t2 = jax.lax.fori_loop(0, num_chunks, body, init)
+    return (t1, t2) if two_min else t1
 
 
-def sweep_shells(outer, inner, origins, dirs) -> ShellSweep:
+def sweep_shells(outer, inner, origins, dirs,
+                 with_fwd2: bool = False) -> ShellSweep:
     """ONE dense pass over both shell meshes computing all four facing-culled
     closest hits the march and early-termination stages consume. Replaces up
     to five trace_mesh launches per bounce stage (reference kernels
@@ -174,7 +193,7 @@ def sweep_shells(outer, inner, origins, dirs) -> ShellSweep:
     outer_empty = outer.is_empty
     inner_empty = inner.is_empty
     if outer_empty and inner_empty:
-        return ShellSweep(miss, miss, miss, miss)
+        return ShellSweep(miss, miss, miss, miss, miss)
 
     big = max(0 if outer_empty else outer.num_triangles,
               0 if inner_empty else inner.num_triangles)
@@ -185,10 +204,21 @@ def sweep_shells(outer, inner, origins, dirs) -> ShellSweep:
                 return miss
             r = trace_mesh(mesh, origins, dirs, mode)
             return jnp.where(r.hit, r.t, 1e30)
-        return ShellSweep(one(outer, FORWARD_ONLY, outer_empty),
+        of = one(outer, FORWARD_ONLY, outer_empty)
+        # Second forward crossing via a re-trace just beyond the first.
+        if outer_empty or not with_fwd2:
+            of2 = miss
+        else:
+            o2 = origins + dirs * (jnp.where(of < 1e30, of, 0.0)
+                                   + 1e-5)[None, :]
+            r2 = trace_mesh(outer, o2, dirs, FORWARD_ONLY,
+                            active=of < 1e30)
+            of2 = jnp.where(r2.hit & (of < 1e30), of + 1e-5 + r2.t, 1e30)
+        return ShellSweep(of,
                           one(outer, BACKWARD_ONLY, outer_empty),
                           one(inner, FORWARD_ONLY, inner_empty),
-                          one(inner, BACKWARD_ONLY, inner_empty))
+                          one(inner, BACKWARD_ONLY, inner_empty),
+                          of2)
 
     from .trace_pallas import BLOCK_RAYS, TRI_TILE, sweep_shells_pallas
 
@@ -210,23 +240,64 @@ def sweep_shells(outer, inner, origins, dirs) -> ShellSweep:
     def tpu_fn(origins, dirs):
         n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
         o, d = origins, dirs
+        act = None
         if n_pad != n:
             o = jnp.pad(o, ((0, 0), (0, n_pad - n)))
             d = jnp.pad(d, ((0, 0), (0, n_pad - n)))
+            # All-zero padding rays can pass clamped slab tests; keep them
+            # out of the cluster worklists.
+            act = jnp.pad(jnp.ones((n,), bool), (0, n_pad - n))
+
+        total = outer.num_triangles + (0 if inner_empty
+                                       else inner.num_triangles)
+        co = outer.cluster_bounds.shape[1]
+        ci = 0 if inner_empty else inner.cluster_bounds.shape[1]
+        if total >= _CLUSTERED_SWEEP_MIN_TRIS and co + ci <= 1024 \
+                and not inner_empty:
+            # Clustered streaming sweep: per-block triangle work shrinks to
+            # the block's frustum footprint instead of O(T_outer + T_inner).
+            from . import trace_cluster as tc
+            cb = jnp.concatenate([outer.cluster_bounds, inner.cluster_bounds],
+                                 axis=1)
+            tpo = outer.tris_packed
+            if tpo.shape[1] != co * tc.CLUSTER_SIZE:
+                tpo = jnp.pad(
+                    tpo, ((0, 0), (0, co * tc.CLUSTER_SIZE - tpo.shape[1])))
+            tpi = inner.tris_packed
+            if tpi.shape[1] != ci * tc.CLUSTER_SIZE:
+                tpi = jnp.pad(
+                    tpi, ((0, 0), (0, ci * tc.CLUSTER_SIZE - tpi.shape[1])))
+            tp_cl = jnp.concatenate([tpo, tpi], axis=1)
+            mask = tc._block_cluster_mask(o, d, cb, act)
+            ids, _, counts, _ = tc._stream_worklist(
+                mask, jnp.where(mask, 0.0, jnp.inf), tc.STREAM_K)
+            out = tc.sweep_clusters_stream(o, d, tp_cl, ids, counts, co,
+                                           with_fwd2=with_fwd2)
+            return ShellSweep(out[0, :n], out[1, :n], out[2, :n], out[3, :n],
+                              out[4, :n] if with_fwd2 else miss)
+
         out = sweep_shells_pallas(o, d, tp, outer_tiles,
-                                  outer_tiles + inner_tiles)
+                                  outer_tiles + inner_tiles,
+                                  with_fwd2=with_fwd2)
         return ShellSweep(out[0, :n], out[1, :n],
                           out[2, :n] if not inner_empty else miss,
-                          out[3, :n] if not inner_empty else miss)
+                          out[3, :n] if not inner_empty else miss,
+                          out[4, :n] if with_fwd2 else miss)
 
     def default_fn(origins, dirs):
+        if with_fwd2:
+            of, of2 = _dense_t_only(outer, origins, dirs, FORWARD_ONLY,
+                                    two_min=True)
+        else:
+            of, of2 = _dense_t_only(outer, origins, dirs, FORWARD_ONLY), miss
         return ShellSweep(
-            _dense_t_only(outer, origins, dirs, FORWARD_ONLY),
+            of,
             _dense_t_only(outer, origins, dirs, BACKWARD_ONLY),
             _dense_t_only(inner, origins, dirs, FORWARD_ONLY)
             if not inner_empty else miss,
             _dense_t_only(inner, origins, dirs, BACKWARD_ONLY)
-            if not inner_empty else miss)
+            if not inner_empty else miss,
+            of2)
 
     return jax.lax.platform_dependent(origins, dirs, tpu=tpu_fn,
                                       default=default_fn)

@@ -100,10 +100,84 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
     """
     n = origins.shape[1]
 
+    sw_first = None  # iteration-1 sweep, precomputed on the camera fast path
     if entry is not None:
         entry_pos, active, accum_t = entry
     elif camera_rays:
-        entry_pos, active, accum_t = _shell_entry_camera(ctx.outer, origins, dirs)
+        # Camera fast path: ONE sweep from the camera serves the shell entry
+        # (outer_fwd — traceOuterShellEntryKernel :720-767) AND iteration
+        # 1's segment sweep. Crossings of a closed surface alternate and the
+        # inner shell lies inside the outer, so every crossing the first
+        # iteration needs (first outer-bwd / inner-fwd / inner-bwd beyond
+        # the entry, and the second outer-fwd as the re-entry) is already in
+        # the camera sweep, just offset by entry_t + eps. Rays violating
+        # those geometric assumptions (non-manifold shells, FP-grazing) are
+        # re-swept exactly, compacted to a small buffer.
+        sw0 = traversal.sweep_shells(ctx.outer, ctx.inner, origins, dirs,
+                                     with_fwd2=True)
+        entry_t = sw0.outer_fwd
+        active = entry_t < 1e30
+        entry_pos = where3(active, origins + dirs * entry_t[None, :],
+                           jnp.zeros_like(origins))
+        accum_t = jnp.where(active, entry_t, 0.0)
+        base = entry_t + SEGMENT_EPSILON
+
+        def derive(t0):
+            tt = t0 - base
+            return jnp.where((t0 < 1e30) & (tt > traversal.MIN_T), tt, 1e30)
+
+        def dropped(t0):
+            # A first crossing at/inside the entry hides any later crossing
+            # of the same facing: must re-sweep.
+            return (t0 < 1e30) & (t0 - base <= traversal.MIN_T)
+
+        sw_first = traversal.ShellSweep(
+            outer_fwd=derive(sw0.outer_fwd2),
+            outer_bwd=derive(sw0.outer_bwd),
+            inner_fwd=derive(sw0.inner_fwd),
+            inner_bwd=derive(sw0.inner_bwd),
+            outer_fwd2=jnp.full((n,), 1e30, jnp.float32))
+        bad = active & (dropped(sw0.outer_bwd) | dropped(sw0.inner_fwd) |
+                        dropped(sw0.inner_bwd) | dropped(sw0.outer_fwd2))
+        n_bad = jnp.sum(bad.astype(jnp.int32))
+        bad_cap = min(512, n)
+
+        def fix_compact(sw1):
+            (bidx,) = jnp.nonzero(bad, size=bad_cap, fill_value=n)
+            bvalid = jnp.arange(bad_cap) < n_bad
+            d_b = jnp.take(dirs, bidx, axis=1, mode="clip")
+            o_b = jnp.take(entry_pos, bidx, axis=1,
+                           mode="clip") + d_b * SEGMENT_EPSILON
+            swb = traversal.sweep_shells(ctx.outer, ctx.inner, o_b, d_b)
+
+            def scat(dst, src):
+                return dst.at[bidx].set(
+                    jnp.where(bvalid, src, jnp.take(dst, bidx, mode="clip")),
+                    mode="drop")
+
+            return traversal.ShellSweep(
+                outer_fwd=scat(sw1.outer_fwd, swb.outer_fwd),
+                outer_bwd=scat(sw1.outer_bwd, swb.outer_bwd),
+                inner_fwd=scat(sw1.inner_fwd, swb.inner_fwd),
+                inner_bwd=scat(sw1.inner_bwd, swb.inner_bwd),
+                outer_fwd2=sw1.outer_fwd2)
+
+        def fix_full(sw1):
+            se = entry_pos + dirs * SEGMENT_EPSILON
+            swf = traversal.sweep_shells(ctx.outer, ctx.inner, se, dirs)
+            pick = lambda dst, src: jnp.where(bad, src, dst)
+            return traversal.ShellSweep(
+                outer_fwd=pick(sw1.outer_fwd, swf.outer_fwd),
+                outer_bwd=pick(sw1.outer_bwd, swf.outer_bwd),
+                inner_fwd=pick(sw1.inner_fwd, swf.inner_fwd),
+                inner_bwd=pick(sw1.inner_bwd, swf.inner_bwd),
+                outer_fwd2=sw1.outer_fwd2)
+
+        sw_first = jax.lax.cond(
+            n_bad == 0, lambda s: s,
+            lambda s: jax.lax.cond(n_bad <= bad_cap, fix_compact, fix_full,
+                                   s),
+            sw_first)
     else:
         ray_active = jnp.ones(n, bool) if ray_active is None else ray_active
         pdfs = jnp.ones(n, jnp.float32) if pdfs is None else pdfs
@@ -116,13 +190,15 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         material_params=zero3,
         hit=jnp.zeros(n, bool), distance=jnp.zeros(n, jnp.float32))
 
-    def segment_step(dirs_b, entry_b, active_b, accum_b):
+    def segment_step(dirs_b, entry_b, active_b, accum_b, sw=None):
         """One march iteration over an arbitrary ray batch [*, K].
 
         Returns (found, hit_pos, normal, color, distance, new_active,
         new_entry, new_accum). Runs on the full batch OR on a compacted
         prefix (the TPU replacement for compactInputsKernel,
-        cuda_renderer_neural.cu:1529-1541).
+        cuda_renderer_neural.cu:1529-1541). `sw` optionally supplies this
+        iteration's shell sweep (t's measured from shifted_entry) — the
+        camera fast path derives it from the entry sweep.
         """
         k = dirs_b.shape[1]
         outer_min = params.outer_shell_min[:, None]
@@ -132,7 +208,9 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         # sweep over both shells replaces the separate outer-BACKWARD and
         # inner-ANY traces (inner ANY == min of its fwd/bwd closest hits).
         shifted_entry = entry_b + dirs_b * SEGMENT_EPSILON
-        sw = traversal.sweep_shells(ctx.outer, ctx.inner, shifted_entry, dirs_b)
+        if sw is None:
+            sw = traversal.sweep_shells(ctx.outer, ctx.inner, shifted_entry,
+                                        dirs_b)
         exit_hit = active_b & (sw.outer_bwd < 1e30)
         exit_t = jnp.where(exit_hit, sw.outer_bwd, SEGMENT_EPSILON)
         inner_any = jnp.minimum(sw.inner_fwd, sw.inner_bwd)
@@ -178,12 +256,56 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
                           splat(params.constant_neural_color, k), color_raw)
 
         # 5. Prepare next iteration (prepareNextIterationKernel :1456-1524).
+        # The reference re-traces outer FORWARD from shifted_exit; we reuse
+        # the sweep's outer_fwd instead: crossings of a closed surface along
+        # a line strictly alternate enter/exit, so after the entry (forward)
+        # crossing the next forward crossing lies beyond the segment end —
+        # sw.outer_fwd IS the re-entry. A masked re-trace under lax.cond
+        # keeps exactness for degenerate (non-manifold / FP-borderline)
+        # geometry where outer_fwd lands inside the segment.
         still = active_b & ~found
         shifted_exit = exit_pos + dirs_b * SEGMENT_EPSILON
-        res_re = traversal.trace_mesh(ctx.outer, shifted_exit, dirs_b,
-                                      traversal.FORWARD_ONLY, active=still)
-        can_continue = still & (res_re.hit | inner_hit)
-        reentry_t = jnp.where(res_re.hit, res_re.t, 0.0)
+        t_from_exit = sw.outer_fwd - (seg_t + SEGMENT_EPSILON)
+        re_hit = (sw.outer_fwd < 1e30) & (t_from_exit > traversal.MIN_T)
+        bad = still & (sw.outer_fwd < 1e30) & ~re_hit
+        n_bad = jnp.sum(bad.astype(jnp.int32))
+        bad_cap = min(512, k)
+
+        def retrace_compact(args):
+            # `bad` is a handful of FP-grazing rays per iteration, but an
+            # unconditional masked dense retrace costs the full batch's
+            # sweep; gather them into a tiny buffer first.
+            re_hit, t_from_exit = args
+            (bidx,) = jnp.nonzero(bad, size=bad_cap, fill_value=k)
+            bvalid = jnp.arange(bad_cap) < n_bad
+            res = traversal.trace_mesh(
+                ctx.outer, jnp.take(shifted_exit, bidx, axis=1, mode="clip"),
+                jnp.take(dirs_b, bidx, axis=1, mode="clip"),
+                traversal.FORWARD_ONLY, active=bvalid)
+            re2 = re_hit.at[bidx].set(
+                jnp.where(bvalid, res.hit,
+                          jnp.take(re_hit, bidx, mode="clip")), mode="drop")
+            t2 = t_from_exit.at[bidx].set(
+                jnp.where(bvalid, res.t,
+                          jnp.take(t_from_exit, bidx, mode="clip")),
+                mode="drop")
+            return re2, t2
+
+        def retrace_full(args):
+            re_hit, t_from_exit = args
+            res = traversal.trace_mesh(ctx.outer, shifted_exit, dirs_b,
+                                       traversal.FORWARD_ONLY, active=bad)
+            return (jnp.where(bad, res.hit, re_hit),
+                    jnp.where(bad, res.t, t_from_exit))
+
+        re_hit, t_from_exit = jax.lax.cond(
+            n_bad == 0, lambda args: args,
+            lambda args: jax.lax.cond(n_bad <= bad_cap, retrace_compact,
+                                      retrace_full, args),
+            (re_hit, t_from_exit))
+
+        can_continue = still & (re_hit | inner_hit)
+        reentry_t = jnp.where(re_hit, t_from_exit, 0.0)
         new_entry = shifted_exit + dirs_b * reentry_t[None, :]
         new_entry = where3(can_continue, new_entry, entry_b)
         new_accum = jnp.where(
@@ -294,7 +416,16 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
 
         return (it + 1, active, entry_pos, accum_t, out)
 
-    state = (jnp.int32(0), active, entry_pos, accum_t, out_hit)
+    if sw_first is not None:
+        # Peeled iteration 1 (full batch — entry-active fractions are above
+        # the compaction tiers anyway) consuming the precomputed sweep.
+        (found, hit_pos, normal, color, distance, active, entry_pos,
+         accum_t) = segment_step(dirs, entry_pos, active, accum_t,
+                                 sw=sw_first)
+        out_hit = merge_out(out_hit, found, hit_pos, normal, color, distance)
+        state = (jnp.int32(1), active, entry_pos, accum_t, out_hit)
+    else:
+        state = (jnp.int32(0), active, entry_pos, accum_t, out_hit)
     _, _, _, _, out_hit = jax.lax.while_loop(cond, body, state)
     return out_hit
 
