@@ -50,6 +50,10 @@ _DENSE_TRI_CHUNK = 512
 # BASELINE.md round 2).
 _CLUSTERED_SWEEP_MIN_TRIS = 4096
 
+# Closest-hit traces switch from the dense all-pairs kernel to the clustered
+# streaming trace (TPU) above this triangle count.
+_CLUSTERED_TRACE_MIN_TRIS = 4096
+
 
 class TraceResult(NamedTuple):
     t: jnp.ndarray        # [N] f32, 1e30 on miss
@@ -109,13 +113,18 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
     n = origins.shape[1]
     if mesh.is_empty:
         return _miss(n)
-    if mesh.num_triangles <= DENSE_MAX_TRIANGLES:
+    if mesh.num_triangles <= _CLUSTERED_TRACE_MIN_TRIS:
         return _trace_dense(mesh, origins, dirs, mode, active)
 
     def tpu_fn(origins, dirs):
+        # Above the crossover the clustered streaming trace beats the dense
+        # all-pairs sweep even for "small" meshes: sorted camera blocks
+        # touch only their frustum's clusters, with front-to-back early-out.
         return _trace_two_level(mesh, origins, dirs, mode, active)
 
     def default_fn(origins, dirs):
+        if mesh.num_triangles <= DENSE_MAX_TRIANGLES:
+            return _trace_dense_xla(mesh, origins, dirs, mode, active)
         return _trace_bvh(mesh, origins, dirs, mode, active)
 
     return jax.lax.platform_dependent(origins, dirs, tpu=tpu_fn,

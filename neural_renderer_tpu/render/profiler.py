@@ -4,8 +4,10 @@ The reference wraps every major dispatch in cudaEvent pairs and aggregates 13
 KernelId categories into per-frame ms / ns-per-ray / Mrays
 (cuda_renderer_neural.h:17-66, viewer.cu:520-590). Here the production frame
 is ONE fused XLA program, so per-stage attribution requires running the
-stages as separately-jitted programs with block_until_ready timing. The
-category totals therefore slightly exceed the fused frame time (materialized
+stages as separately-jitted programs. Timing pipelines several async
+dispatches behind one scalar-readback barrier and subtracts the platform's
+fixed round-trip floor (~40 ms on remote axon — see _rpc_floor_ms). The
+category totals still slightly exceed the fused frame time (materialized
 intermediates); use `frame_total` for end-to-end numbers and the categories
 for relative attribution. For instruction-level detail use
 jax.profiler.trace(...) around Renderer.render().
@@ -23,7 +25,8 @@ import jax.numpy as jnp
 
 from ..ops import traversal
 from . import pathtrace as pt
-from .neural_march import check_bounce_early_termination, trace_neural_segments
+from .neural_march import bounce_shell_entry_and_early_term, \
+    trace_neural_segments
 
 # The reference's 13 KernelId categories (cuda_renderer_neural.h:17-35).
 CATEGORIES = (
@@ -74,14 +77,42 @@ def _sync(out):
     float(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def _timed(fn, *args, runs=2):
+_rpc_floor_cache = [None]
+
+
+def _rpc_floor_ms() -> float:
+    """Fixed cost of one dispatch + scalar readback round trip (~40 ms on
+    the remote axon platform, ~0 locally). Every timed region pays it once
+    (the final barrier); subtract it or per-stage numbers are inflated by
+    +floor/runs — at runs=2 that once mis-attributed ~20 ms to every
+    category (see BASELINE.md round 2, 'RPC floor')."""
+    if _rpc_floor_cache[0] is None:
+        x = jnp.ones((8, 128), jnp.float32)
+        f = jax.jit(lambda x: jnp.sum(x * 2.0))
+        float(f(x))
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(x))
+            samples.append(time.perf_counter() - t0)
+        _rpc_floor_cache[0] = min(samples) * 1e3
+    return _rpc_floor_cache[0]
+
+
+def _timed(fn, *args, runs=8):
+    """Time fn over `runs` asynchronously-pipelined dispatches with ONE
+    final barrier, minus the round-trip floor."""
     out = fn(*args)
     _sync(out)
     t0 = time.perf_counter()
     for _ in range(runs):
         out = fn(*args)
     _sync(out)
-    return out, (time.perf_counter() - t0) / runs * 1e3
+    elapsed = (time.perf_counter() - t0) * 1e3
+    # Never report zero: a stage faster than the round-trip floor is
+    # floor-dominated; keep 5% of raw as a visible lower bound.
+    ms = max(elapsed - _rpc_floor_ms(), 0.05 * elapsed) / runs
+    return out, ms
 
 
 def profile_gt_frame(mesh, env, params, accum=None, runs=2) -> KernelTimings:
@@ -192,17 +223,21 @@ def profile_neural_frame(ctx, additional_mesh, env, params, accum=None,
         t.ms["sampleBounce"] += ms
         path = pt.update_active_after_sampling(path, cur_hits, rays)
 
-        early = jax.jit(lambda o, i, p, r, a: check_bounce_early_termination(
-            o, i, p, r, a))
-        active, ms = _timed(early, ctx.outer, ctx.inner, params, rays,
-                            path.active, runs=runs)
+        # The production frame fuses early termination + shell entry into
+        # one sweep (bounce_shell_entry_and_early_term); time that fused
+        # stage as earlyTermination and the remaining march as shellTrace.
+        early = jax.jit(lambda c, r, a: bounce_shell_entry_and_early_term(
+            c, r, a))
+        (active, entry), ms = _timed(early, ctx, rays, path.active,
+                                     runs=runs)
         t.ms["earlyTermination"] += ms
         path = path._replace(active=active)
 
-        march_b = jax.jit(lambda c, p, r, a: trace_neural_segments(
+        march_b = jax.jit(lambda c, p, r, a, e: trace_neural_segments(
             c, p, r.origin, r.direction, ray_active=a, pdfs=r.pdf,
-            camera_rays=False, compute_dtype=compute_dtype))
-        bh, ms = _timed(march_b, ctx, params, rays, path.active, runs=runs)
+            camera_rays=False, compute_dtype=compute_dtype, entry=e))
+        bh, ms = _timed(march_b, ctx, params, rays, path.active, entry,
+                        runs=runs)
         t.ms["shellTrace"] += ms
         t.neural_ray_calls += n
 

@@ -56,6 +56,101 @@ def test_sweep_matches_separate_traces():
     check(jnp.minimum(sw.inner_fwd, sw.inner_bwd), inner, traversal.ANY)
 
 
+def test_sweep_fwd2_matches_bruteforce():
+    """with_fwd2: outer_fwd2 must equal the second-smallest accepted forward
+    crossing (numpy oracle over every triangle). A convex shell has at most
+    ONE forward crossing per ray, so the outer here is two nested spheres
+    merged into one mesh — rays through both walls get two."""
+    s_out = outward_sphere(12, 24, 1.2)
+    s_mid = outward_sphere(10, 20, 1.0)
+    merged = outward_sphere(12, 24, 1.2)
+    nv = s_out.vertices.shape[0]
+    merged.vertices = np.concatenate([s_out.vertices, s_mid.vertices], axis=0)
+    merged.normals = np.concatenate([s_out.normals, s_mid.normals], axis=0)
+    merged.indices = np.concatenate(
+        [s_out.indices, s_mid.indices + nv], axis=0).astype(np.uint32)
+    merged.mark_dirty()
+    outer = merged.to_arrays()
+    inner = outward_sphere(10, 20, 0.6).to_arrays()
+    o, d = _random_rays(2048, seed=11)
+    sw = jax.jit(lambda o, d: traversal.sweep_shells(outer, inner, o, d,
+                                                     with_fwd2=True))(o, d)
+
+    # Oracle: per-ray sorted list of accepted forward t's.
+    tp = np.asarray(outer.tris_packed)
+    on, dn = np.asarray(o), np.asarray(d)
+    v0 = tp[0:3][:, None, :]                      # [3, 1, T]
+    e1 = tp[3:6][:, None, :]
+    e2 = tp[6:9][:, None, :]
+    dN = dn[:, :, None]
+    oN = on[:, :, None]
+    pv = np.cross(dN, e2, axis=0)
+    det = np.sum(e1 * pv, axis=0)
+    ok = np.abs(det) >= traversal.TRI_EPSILON
+    inv = 1.0 / np.where(ok, det, 1.0)
+    tv = oN - v0
+    u = np.sum(tv * pv, axis=0) * inv
+    ok &= (u >= 0) & (u <= 1)
+    qv = np.cross(tv, e1, axis=0)
+    v = np.sum(dN * qv, axis=0) * inv
+    ok &= (v >= 0) & (u + v <= 1)
+    t = np.sum(e2 * qv, axis=0) * inv
+    ok &= (t > traversal.TRI_EPSILON) & (t > traversal.MIN_T)
+    facing = np.sum(np.cross(e1, e2, axis=0) * dN, axis=0)
+    ok &= facing < 0.0
+    t = np.where(ok, t, 1e30)
+    t.sort(axis=1)
+    ref1, ref2 = t[:, 0], t[:, 1]
+
+    g1, g2 = np.asarray(sw.outer_fwd), np.asarray(sw.outer_fwd2)
+    np.testing.assert_array_equal(g1 < 1e30, ref1 < 1e30)
+    np.testing.assert_array_equal(g2 < 1e30, ref2 < 1e30)
+    h1, h2 = ref1 < 1e30, ref2 < 1e30
+    np.testing.assert_allclose(g1[h1], ref1[h1], rtol=2e-6)
+    np.testing.assert_allclose(g2[h2], ref2[h2], rtol=2e-6)
+    assert h2.sum() > 50
+
+
+def test_camera_march_fast_path_matches_reference_path():
+    """The camera fast path (entry + iteration 1 from ONE sweep) must agree
+    with the reference-shaped path: explicit entry trace + per-iteration
+    sweeps, provided via the `entry=` hook."""
+    from neural_renderer_tpu.render.neural_march import _shell_entry_camera
+    from neural_renderer_tpu.render.params import RenderParams
+    from neural_renderer_tpu.scene.materials import Material
+
+    outer = outward_sphere(12, 24, 1.2).to_arrays()
+    inner = outward_sphere(12, 24, 0.8).to_arrays()
+    cfg = nbvh.NbvhConfig(log2_hashmap_size=10, base_resolution=8, n_levels=2,
+                          mlp_width=32, mlp_hidden_layers=2)
+    net = nbvh.init_params(jax.random.PRNGKey(2), cfg)
+    ctx = NeuralContext(outer=outer, inner=inner, net_params=net, config=cfg)
+    omin = np.asarray(outer.bvh_bounds_min[:, 0])
+    omax = np.asarray(outer.bvh_bounds_max[:, 0])
+    params = RenderParams.make(
+        width=8, height=8, samples_per_pixel=1, max_bounces=1,
+        cam_pos=[0, 0, 3.0], cam_forward=[0, 0, -1.0], cam_right=[1, 0, 0.0],
+        cam_up=[0, 1, 0.0], fov_y=0.9, material=Material.default(),
+        scene_scale=2.0, outer_shell_min=omin,
+        outer_shell_inv_extent=1.0 / (omax - omin))
+
+    n = 2048
+    o, d = _random_rays(n, seed=13, spread=4.0)
+
+    fast = trace_neural_segments(ctx, params, o, d, camera_rays=True,
+                                 compute_dtype=jnp.float32, compaction=False)
+    ref = trace_neural_segments(
+        ctx, params, o, d, camera_rays=True, compute_dtype=jnp.float32,
+        compaction=False, entry=_shell_entry_camera(outer, o, d))
+
+    np.testing.assert_array_equal(np.asarray(fast.hit), np.asarray(ref.hit))
+    np.testing.assert_allclose(np.asarray(fast.distance),
+                               np.asarray(ref.distance), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fast.position),
+                               np.asarray(ref.position), rtol=2e-5, atol=2e-5)
+    assert int(np.asarray(fast.hit).sum()) > 100
+
+
 def test_sweep_empty_inner():
     outer = outward_sphere(8, 16, 1.0).to_arrays()
     from neural_renderer_tpu.scene.mesh import Mesh
