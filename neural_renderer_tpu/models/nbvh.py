@@ -33,6 +33,10 @@ from .encoding import SH_DIM, HashGridConfig, hashgrid_encode, init_hashgrid, sh
 
 LEAKY_SLOPE = 0.01  # tcnn LeakyReLU negative slope
 
+# Segment-count cap per XLA encode+MLP dispatch; larger batches are chunked
+# with lax.map (see apply) to bound HBM temps (~1 KB/segment of activations).
+ENC_CHUNK = 1 << 21
+
 
 @dataclass(frozen=True)
 class NbvhConfig:
@@ -189,6 +193,26 @@ def apply(params, inputs, config: NbvhConfig, compute_dtype=jnp.bfloat16,
 
         return jax.lax.platform_dependent(params, inputs, tpu=tpu_fn,
                                           default=default_fn)
+    n = inputs.shape[1]
+    if n > ENC_CHUNK:
+        # Chunk the XLA encode+MLP over segments: the [N, 112] feature stack
+        # plus [N, 128] activations materialize ~1 KB/segment of f32 temps,
+        # which OOMs HBM above ~2M segments (1080p batches with spp > 1 —
+        # evaluate.cu:22-23 uses 8 spp per render call). lax.map bounds the
+        # temp footprint to one chunk; weights stay resident across chunks.
+        k = -(-n // ENC_CHUNK)
+        pad = k * ENC_CHUNK - n
+        xp = jnp.pad(inputs, ((0, 0), (0, pad)))
+        xp = xp.reshape(inputs.shape[0], k, ENC_CHUNK).swapaxes(0, 1)
+
+        def one(xi):
+            encoded = encode_inputs(params, xi, config)
+            return mlp_forward(params["mlp"], encoded,
+                               compute_dtype=compute_dtype)
+
+        out = jax.lax.map(one, xp)          # [k, padded_out, ENC_CHUNK]
+        out = out.swapaxes(0, 1).reshape(out.shape[1], k * ENC_CHUNK)
+        return out[:, :n]
     encoded = encode_inputs(params, inputs, config)
     return mlp_forward(params["mlp"], encoded, compute_dtype=compute_dtype)
 

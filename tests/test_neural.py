@@ -113,6 +113,22 @@ def test_network_forward_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_chunked_apply_matches_unchunked(monkeypatch):
+    """Batches above ENC_CHUNK are lax.map'd in chunks (HBM temp cap for
+    spp>1 1080p evaluate batches); chunking must not change the math."""
+    cfg = nbvh.NbvhConfig()
+    params = nbvh.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(1).uniform(size=(12, 100)),
+                    jnp.float32)
+    ref = np.asarray(nbvh.apply(params, x, cfg, compute_dtype=jnp.float32))
+    monkeypatch.setattr(nbvh, "ENC_CHUNK", 32)  # 100 -> 4 chunks, padded tail
+    chunked = np.asarray(nbvh.apply(params, x, cfg,
+                                    compute_dtype=jnp.float32))
+    # Not bit-exact: the chunked matmuls tile a different batch shape on the
+    # MXU, shifting FMA contraction order by ~1 ulp on a handful of elements.
+    np.testing.assert_allclose(ref, chunked, rtol=1e-6, atol=1e-7)
+
+
 def test_bf16_close_to_f32():
     cfg = nbvh.NbvhConfig()
     params = nbvh.init_params(jax.random.PRNGKey(0), cfg)
