@@ -458,11 +458,9 @@ def _sweep4_cluster(cluster, outer_clusters: int, o_ref, d_ref, tri_ref,
         tf = jnp.where(ok & (facing < 0.0), t, 1e30)
         tile_fwd = jnp.min(tf, axis=1)
         if with_fwd2:
-            # Second-smallest forward t in this tile (mask one min instance).
-            ids = jax.lax.broadcasted_iota(jnp.int32, tf.shape, 1)
-            ci = jnp.min(jnp.where(tf <= tile_fwd[:, None], ids, TRI_TILE),
-                         axis=1)
-            tile_fwd2 = jnp.min(jnp.where(ids == ci[:, None], 1e30, tf),
+            # Strictly-greater second min (equal-t duplicates collapse —
+            # same semantics as trace_pallas._sweep_kernel / _dense_t_only).
+            tile_fwd2 = jnp.min(jnp.where(tf > tile_fwd[:, None], tf, 1e30),
                                 axis=1)
             t_fwd2 = jnp.minimum(jnp.maximum(t_fwd, tile_fwd),
                                  jnp.minimum(t_fwd2, tile_fwd2))

@@ -169,13 +169,15 @@ def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
 
         is_outer = c < num_outer_tiles
         if with_fwd2:
-            # Second-smallest forward t in this tile: mask ONE instance of
-            # the minimum (by column index) and take the min again, then
-            # merge into the running two smallest outer fwd.
-            ids = jax.lax.broadcasted_iota(jnp.int32, tf.shape, 1)
-            ci = jnp.min(jnp.where(tf <= t_fwd[:, None], ids, TRI_TILE),
-                         axis=1)
-            t_fwd2 = jnp.min(jnp.where(ids == ci[:, None], 1e30, tf), axis=1)
+            # Second-smallest STRICTLY-GREATER forward t in this tile, then
+            # merge into the running two smallest outer fwd. Equal-t
+            # duplicate crossings collapse — semantically matching the
+            # reference, whose re-entry re-trace from exit+eps
+            # (prepareNextIterationKernel, cuda_renderer_neural.cu:1456-1524)
+            # likewise skips a second crossing at the same t. This is one
+            # select + one min-reduce cheaper than argmin-masking a single
+            # instance.
+            t_fwd2 = jnp.min(jnp.where(tf > t_fwd[:, None], tf, 1e30), axis=1)
             new_of2 = jnp.minimum(jnp.maximum(of, t_fwd),
                                   jnp.minimum(of2, t_fwd2))
             of2 = jnp.where(is_outer, new_of2, of2)

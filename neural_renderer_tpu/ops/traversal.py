@@ -173,9 +173,10 @@ def _dense_t_only(mesh, origins, dirs, mode: int, two_min: bool = False):
         t = jnp.where(ok & (t > MIN_T), t, 1e30)
         m1 = jnp.min(t, axis=1)
         if two_min:
-            ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            ci = jnp.min(jnp.where(t <= m1[:, None], ids, chunk), axis=1)
-            m2 = jnp.min(jnp.where(ids == ci[:, None], 1e30, t), axis=1)
+            # Strictly-greater second min (equal-t duplicate crossings
+            # collapse) — must match the Pallas sweep's fwd2 semantics
+            # (trace_pallas._sweep_kernel).
+            m2 = jnp.min(jnp.where(t > m1[:, None], t, 1e30), axis=1)
             t2 = jnp.minimum(jnp.maximum(t1, m1), jnp.minimum(t2, m2))
         return jnp.minimum(t1, m1), t2
 
