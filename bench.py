@@ -88,8 +88,12 @@ def make_frame_fn(device, width, height, spp, bounces, compute_dtype):
     env = put(EnvironmentMap().to_arrays())
 
     grid = os.environ.get("BENCH_GRID", "lane")
-    cfg = (nbvh.NbvhConfig(grid_type="lane") if grid == "lane"
-           else nbvh.NbvhConfig())
+    # Default S=16: the shipped flagship configuration (sphere_lane.json,
+    # 51.5 dB GT-vs-neural) — the scored headline measures what users get.
+    # S=8 pack=2 runs ~3% faster at 1/2 the table capacity.
+    lane_s = int(os.environ.get("BENCH_LANE_SUBLANES", "16"))
+    cfg = (nbvh.NbvhConfig(grid_type="lane", lane_sublanes=lane_s)
+           if grid == "lane" else nbvh.NbvhConfig())
     net_params = put(nbvh.init_params(jax.random.PRNGKey(0), cfg))
     ctx = NeuralContext(outer=outer_a, inner=inner_a, net_params=net_params,
                         config=cfg)

@@ -30,6 +30,8 @@ def main(argv=None) -> int:
     parser.add_argument("--ckpt-dir", default="", help="orbax checkpoint dir")
     parser.add_argument("--resume", default="", help="orbax checkpoint to resume")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--lr-schedule", default="constant",
+                        choices=["constant", "cosine"])
     parser.add_argument("--log-every", type=int, default=100)
     args = parser.parse_args(argv)
 
@@ -52,10 +54,12 @@ def main(argv=None) -> int:
         log2_hashmap_size=cfg.neural_network.log2_hashmap_size,
         base_resolution=cfg.neural_network.base_resolution,
         grid_type=cfg.neural_network.grid_type,
-        lane_sublanes=cfg.neural_network.lane_sublanes)
+        lane_sublanes=cfg.neural_network.lane_sublanes,
+        lane_entry_pack=cfg.neural_network.lane_entry_pack)
     tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                        steps=args.steps, seed=args.seed,
-                       log_every=args.log_every)
+                       log_every=args.log_every,
+                       lr_schedule=args.lr_schedule)
 
     gt = scene.original_mesh.to_arrays()
     outer = scene.outer_shell.to_arrays()

@@ -76,6 +76,9 @@ class NeuralNetworkConfig:
     # tcnn-compatible one ("tcnn"); lane_sublanes*128 entries per table.
     grid_type: str = "tcnn"
     lane_sublanes: int = 8
+    # Entries per f32 table lane: 2 packs two bf16-rounded entries per lane
+    # (2x capacity at the same kernel gather count); 1 = legacy full-f32.
+    lane_entry_pack: int = 2
 
 
 @dataclass
@@ -180,6 +183,7 @@ def load_config(config_path: str) -> RendererConfig:
             use_neural_query=bool(nn.get("use_neural_query", False)),
             grid_type=str(nn.get("grid_type", "tcnn")),
             lane_sublanes=int(nn.get("lane_sublanes", 8)),
+            lane_entry_pack=int(nn.get("lane_entry_pack", 2)),
         )
 
     return cfg

@@ -66,23 +66,36 @@ def hash_corner(cx, cy, cz, n_entries: int):
 
 
 def init_lane_tables(key, n_points: int, n_levels: int, n_features: int,
-                     sublanes: int, dtype=jnp.float32):
-    """Uniform(-1e-4, 1e-4) like tcnn's grid init. [P, L, F, S, 128]."""
-    return jax.random.uniform(
-        key, (n_points, n_levels, n_features, sublanes, LANES),
-        minval=-1e-4, maxval=1e-4, dtype=dtype)
+                     sublanes: int, entry_pack: int = 1, dtype=jnp.float32):
+    """Uniform(-1e-4, 1e-4) like tcnn's grid init.
+
+    entry_pack=1: [P, L, F, S, 128] (one f32 entry per lane).
+    entry_pack=2: [P, L, F, S, 2, 128] — at inference the fused kernel packs
+    the two bf16-rounded entries of each lane pair into ONE f32 lane, so the
+    table capacity doubles at the exact same gather count (the reference's
+    tcnn grid stores FP16 entries too, cuda_renderer_neural.cu:1691-1702).
+    Training and the XLA twin keep full f32 masters.
+    """
+    shape = (n_points, n_levels, n_features, sublanes, LANES) \
+        if entry_pack == 1 else \
+        (n_points, n_levels, n_features, sublanes, entry_pack, LANES)
+    return jax.random.uniform(key, shape, minval=-1e-4, maxval=1e-4,
+                              dtype=dtype)
 
 
 def lane_encode_point_features(tables_p, x, base_resolution: int,
                                per_level_scale: float):
     """Encode ONE point through its per-point tables (XLA twin).
 
-    tables_p: [L, F, S, 128]; x: [3, N] in [0, 1].
+    tables_p: [L, F, S, 128] or [L, F, S, pack, 128]; x: [3, N] in [0, 1].
     Returns a list of L*F arrays [N] (level-major, feature within level) —
-    the same contract as encoding.hashgrid_encode_features.
+    the same contract as encoding.hashgrid_encode_features. The flat entry
+    index decomposes as sub*(pack*128) + half*128 + lane, which is exactly
+    the row-major flatten of the trailing table axes, so both layouts share
+    this code path.
     """
-    n_levels, n_features, sublanes, lanes = tables_p.shape
-    n_entries = sublanes * lanes
+    n_levels, n_features = tables_p.shape[:2]
+    n_entries = math.prod(tables_p.shape[2:])
     outs = []
     for level in range(n_levels):
         scale = jnp.float32(level_scale(level, base_resolution, per_level_scale))

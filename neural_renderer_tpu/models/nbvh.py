@@ -52,10 +52,14 @@ class NbvhConfig:
     padded_output_dims: int = 16
     # "tcnn": reference-compatible hash grid (checkpoint parity, XLA gathers).
     # "lane": TPU-native lane-local grid (models/lane_grid.py) — per
-    # (point, level, feature) tables of lane_sublanes*128 entries, served by
-    # the fully fused Pallas kernel (ops/lane_grid_kernel.py) at inference.
+    # (point, level, feature) tables of lane_sublanes*lane_entry_pack*128
+    # entries, served by the fully fused Pallas kernel
+    # (ops/lane_grid_kernel.py) at inference. lane_entry_pack=2 stores two
+    # bf16-rounded entries per f32 lane (2x capacity, same gather count);
+    # 1 keeps one full-f32 entry per lane (legacy checkpoints).
     grid_type: str = "tcnn"
     lane_sublanes: int = 8
+    lane_entry_pack: int = 2
 
     @property
     def input_dims(self) -> int:
@@ -90,7 +94,7 @@ class NbvhConfig:
     @property
     def lane_entries(self) -> int:
         """Entries per (point, level, feature) table in lane-grid mode."""
-        return self.lane_sublanes * 128
+        return self.lane_sublanes * self.lane_entry_pack * 128
 
 
 def init_params(key, config: NbvhConfig, dtype=jnp.float32,
@@ -107,7 +111,8 @@ def init_params(key, config: NbvhConfig, dtype=jnp.float32,
     if config.grid_type == "lane":
         from .lane_grid import init_lane_tables
         lane = init_lane_tables(keys[0], config.point_count, config.n_levels,
-                                config.n_features, config.lane_sublanes, dtype)
+                                config.n_features, config.lane_sublanes,
+                                config.lane_entry_pack, dtype)
         grids = None
     else:
         n_grids = 1 if shared_grid else config.point_count

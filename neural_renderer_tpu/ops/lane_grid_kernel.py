@@ -49,8 +49,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _encode_block(x, tables_ref, *, n_points, n_levels, n_features, sublanes,
-                  base_resolution, per_level_scale):
-    """x: [12, 128] block. Returns list of P*L*F feature rows [1, 128] f32."""
+                  entry_pack, base_resolution, per_level_scale):
+    """x: [12, 128] block. Returns list of P*L*F feature rows [1, 128] f32.
+
+    entry_pack=2: each f32 table lane holds TWO bf16-rounded entries (low 16
+    bits = entry half 0, high 16 = half 1) — bit 7 of the hash index selects
+    the half after the lane-gather, doubling table capacity at the same
+    gather count. bf16 entries are in-family with the reference's FP16 tcnn
+    tables (cuda_renderer_neural.cu:1691-1702)."""
     corner = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     dx = corner & 1
     dy = (corner >> 1) & 1
@@ -58,7 +64,8 @@ def _encode_block(x, tables_ref, *, n_points, n_levels, n_features, sublanes,
     fdx = dx.astype(jnp.float32)
     fdy = dy.astype(jnp.float32)
     fdz = dz.astype(jnp.float32)
-    n_entries = sublanes * LANES
+    n_entries = sublanes * entry_pack * LANES
+    sub_shift = 7 + (entry_pack.bit_length() - 1)
 
     feats = []
     for p in range(n_points):
@@ -88,8 +95,10 @@ def _encode_block(x, tables_ref, *, n_points, n_levels, n_features, sublanes,
             wc = wcx * wcy * wcz                      # [8, 128]
 
             idx = lane_grid.hash_corner(cx, cy, cz, n_entries)
-            sub = idx >> 7
+            sub = idx >> sub_shift
             lane = idx & (LANES - 1)
+            if entry_pack == 2:
+                hi_half = (idx & jnp.int32(LANES)) != 0
 
             accs = [jnp.zeros((8, LANES), jnp.float32)
                     for _ in range(n_features)]
@@ -101,6 +110,13 @@ def _encode_block(x, tables_ref, *, n_points, n_levels, n_features, sublanes,
                     trow = jnp.broadcast_to(tables_ref[row:row + 1, :],
                                             (8, LANES))
                     g = jnp.take_along_axis(trow, lane, axis=-1)
+                    if entry_pack == 2:
+                        u = jax.lax.bitcast_convert_type(g, jnp.int32)
+                        vlo = jax.lax.bitcast_convert_type(
+                            u << 16, jnp.float32)
+                        vhi = jax.lax.bitcast_convert_type(
+                            u & jnp.int32(-65536), jnp.float32)
+                        g = jnp.where(hi_half, vhi, vlo)
                     accs[f] = accs[f] + g * mw
             for f in range(n_features):
                 feats.append(jnp.sum(accs[f], axis=0, keepdims=True))
@@ -109,11 +125,12 @@ def _encode_block(x, tables_ref, *, n_points, n_levels, n_features, sublanes,
 
 def _forward_kernel(x_ref, tables_ref, w0_ref, w1_ref, w2_ref, w3_ref,
                     wout_ref, out_ref, *, n_points, n_levels, n_features,
-                    sublanes, base_resolution, per_level_scale, encoded_dims):
+                    sublanes, entry_pack, base_resolution, per_level_scale,
+                    encoded_dims):
     x = x_ref[:]
     feats = _encode_block(
         x, tables_ref, n_points=n_points, n_levels=n_levels,
-        n_features=n_features, sublanes=sublanes,
+        n_features=n_features, sublanes=sublanes, entry_pack=entry_pack,
         base_resolution=base_resolution, per_level_scale=per_level_scale)
     feats.extend(f.reshape(1, LANES) for f in
                  sh_encode_features(x[3 * n_points:3 * n_points + 3, :]))
@@ -152,16 +169,17 @@ def pack_lane_weights(params, config: nbvh.NbvhConfig, dtype=jnp.bfloat16):
 @functools.partial(
     jax.jit,
     static_argnames=("n_points", "n_levels", "n_features", "sublanes",
-                     "base_resolution", "per_level_scale", "encoded_dims",
-                     "out_dims", "interpret"))
+                     "entry_pack", "base_resolution", "per_level_scale",
+                     "encoded_dims", "out_dims", "interpret"))
 def _forward_padded(x_pad, tables2d, w0, w1, w2, w3, wout, *, n_points,
-                    n_levels, n_features, sublanes, base_resolution,
-                    per_level_scale, encoded_dims, out_dims, interpret):
+                    n_levels, n_features, sublanes, entry_pack,
+                    base_resolution, per_level_scale, encoded_dims, out_dims,
+                    interpret):
     n = x_pad.shape[1]
     grid = (n // LANES,)
     kernel = functools.partial(
         _forward_kernel, n_points=n_points, n_levels=n_levels,
-        n_features=n_features, sublanes=sublanes,
+        n_features=n_features, sublanes=sublanes, entry_pack=entry_pack,
         base_resolution=base_resolution, per_level_scale=per_level_scale,
         encoded_dims=encoded_dims)
 
@@ -204,13 +222,27 @@ def forward_lane(params, inputs, config: nbvh.NbvhConfig,
     x = inputs if npad == n else jnp.pad(inputs, ((0, 0), (0, npad - n)))
 
     tables = params["lane"]
-    p_, l_, f_, s_, lanes = tables.shape
-    tables2d = tables.reshape(p_ * l_ * f_ * s_, lanes).astype(jnp.float32)
+    if tables.ndim == 6:
+        # Packed layout [P, L, F, S, 2, 128]: quantize each entry to bf16
+        # and pack the lane pair into one f32 (half 0 -> low 16 bits).
+        p_, l_, f_, s_, pk, lanes = tables.shape
+        assert pk == 2, "lane_entry_pack must be 1 or 2"
+        u = jax.lax.bitcast_convert_type(
+            tables.astype(jnp.float32).astype(jnp.bfloat16),
+            jnp.uint16).astype(jnp.uint32)
+        packed = (u[..., 1, :] << 16) | u[..., 0, :]
+        tables2d = jax.lax.bitcast_convert_type(
+            packed, jnp.float32).reshape(p_ * l_ * f_ * s_, lanes)
+        entry_pack = 2
+    else:
+        p_, l_, f_, s_, lanes = tables.shape
+        tables2d = tables.reshape(p_ * l_ * f_ * s_, lanes).astype(jnp.float32)
+        entry_pack = 1
     w0, w1, w2, w3, wout = pack_lane_weights(params, config)
     out = _forward_padded(
         x.astype(jnp.float32), tables2d, w0, w1, w2, w3, wout,
         n_points=config.point_count, n_levels=config.n_levels,
-        n_features=config.n_features, sublanes=config.lane_sublanes,
+        n_features=config.n_features, sublanes=s_, entry_pack=entry_pack,
         base_resolution=config.base_resolution,
         per_level_scale=config.per_level_scale,
         encoded_dims=config.encoded_dims,

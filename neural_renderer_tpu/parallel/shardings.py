@@ -149,9 +149,10 @@ def shard_params_spec(params) -> dict:
         "mlp": [mlp_spec(i, w, n_layers) for i, w in enumerate(params["mlp"])],
     }
     if "lane" in params:
-        # Lane grid [P, L, F, S, 128]: shard the sublane-row axis over 'tp'
-        # (lane_sublanes is a power of two >= tp in practice).
-        spec["lane"] = P(None, None, None, "tp", None)
+        # Lane grid [P, L, F, S, (pack,) 128]: shard the sublane-row axis
+        # over 'tp' (lane_sublanes is a power of two >= tp in practice).
+        spec["lane"] = P(*([None, None, None, "tp"]
+                           + [None] * (params["lane"].ndim - 4)))
     else:
         spec["grids"] = [[grid_spec(t) for t in grid]
                          for grid in params["grids"]]

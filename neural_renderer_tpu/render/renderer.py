@@ -44,7 +44,8 @@ class Renderer:
             log2_hashmap_size=nn_config.log2_hashmap_size,
             base_resolution=nn_config.base_resolution,
             grid_type=nn_config.grid_type,
-            lane_sublanes=nn_config.lane_sublanes)
+            lane_sublanes=nn_config.lane_sublanes,
+            lane_entry_pack=nn_config.lane_entry_pack)
         # Reference zero-initialises and expects a checkpoint load
         # (cudaMemset, cuda_renderer_neural.cu:1698).
         self.net_params = jax.tree_util.tree_map(

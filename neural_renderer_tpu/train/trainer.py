@@ -34,6 +34,10 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 100
     checkpoint_every: int = 1000
+    # "constant" or "cosine" (decays to lr_end_factor * learning_rate over
+    # `steps`; instant-ngp-style runs converge noticeably better with decay).
+    lr_schedule: str = "constant"
+    lr_end_factor: float = 0.05
 
 
 class TrainState(NamedTuple):
@@ -43,7 +47,12 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: TrainConfig):
-    return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    if cfg.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            cfg.learning_rate, max(1, cfg.steps), alpha=cfg.lr_end_factor)
+    else:
+        lr = cfg.learning_rate
+    return optax.adamw(lr, weight_decay=cfg.weight_decay)
 
 
 def init_train_state(cfg: TrainConfig, net_config: nbvh.NbvhConfig) -> TrainState:
@@ -112,14 +121,30 @@ def save_checkpoint(ckpt_dir: str, state: TrainState):
 
 def restore_checkpoint(path: str, cfg: TrainConfig,
                        net_config: nbvh.NbvhConfig) -> TrainState:
+    """Restore a train-state checkpoint. The optimizer-state pytree differs
+    between constant-LR (stateless scale) and scheduled-LR (step-count state)
+    checkpoints, so if the template built from `cfg` doesn't match the stored
+    structure the other schedule variant is tried — callers that only need
+    params (Renderer.load_weights_from_file) then work on either kind."""
+    import dataclasses
+
     import orbax.checkpoint as ocp
-    template = init_train_state(cfg, net_config)
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(
-            os.path.abspath(path),
-            {"params": template.params, "opt_state": template.opt_state,
-             "step": template.step})
-    return TrainState(restored["params"], restored["opt_state"], restored["step"])
+    last_err = None
+    for sched in dict.fromkeys([cfg.lr_schedule, "constant", "cosine"]):
+        template = init_train_state(dataclasses.replace(cfg, lr_schedule=sched),
+                                    net_config)
+        try:
+            with ocp.StandardCheckpointer() as ckptr:
+                restored = ckptr.restore(
+                    os.path.abspath(path),
+                    {"params": template.params,
+                     "opt_state": template.opt_state,
+                     "step": template.step})
+            return TrainState(restored["params"], restored["opt_state"],
+                              restored["step"])
+        except ValueError as e:
+            last_err = e
+    raise last_err
 
 
 def export_reference_blob(path: str, state: TrainState,

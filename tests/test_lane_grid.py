@@ -18,9 +18,12 @@ from neural_renderer_tpu.ops.lane_grid_kernel import forward_lane
 
 
 def _numpy_lane_encode(tables, x, base_resolution, per_level_scale):
-    """Straight numpy mirror of lane_grid.lane_encode_features."""
-    p_, l_, f_, s_, lanes = tables.shape
-    n_entries = s_ * lanes
+    """Straight numpy mirror of lane_grid.lane_encode_features.
+
+    Handles both layouts: [P, L, F, S, 128] and packed [P, L, F, S, 2, 128]
+    (the flat entry index is the row-major flatten of the trailing axes)."""
+    p_, l_, f_ = tables.shape[:3]
+    n_entries = int(np.prod(tables.shape[3:]))
     feats = []
     for p in range(p_):
         xs = x[p * 3:(p + 1) * 3]
@@ -59,22 +62,38 @@ def test_twin_matches_numpy(rng):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
-def _lane_cfg():
-    return nbvh.NbvhConfig(grid_type="lane", lane_sublanes=4)
+def test_twin_matches_numpy_packed(rng):
+    """Packed [P, L, F, S, 2, 128] layout: 2x the entries, same hash; the
+    twin must address the flat entry index across the pack axis."""
+    tables = rng.normal(size=(2, 3, 2, 4, 2, 128)).astype(np.float32)
+    x = rng.uniform(size=(6, 97)).astype(np.float32)
+    ref = _numpy_lane_encode(tables, x, base_resolution=4, per_level_scale=1.5)
+    out = np.stack([np.asarray(f) for f in lane_grid.lane_encode_features(
+        jnp.asarray(tables), jnp.asarray(x), 4, 1.5)], axis=0)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
-def _params_and_inputs(n=300):
-    cfg = _lane_cfg()
+def _lane_cfg(entry_pack=2):
+    return nbvh.NbvhConfig(grid_type="lane", lane_sublanes=4,
+                           lane_entry_pack=entry_pack)
+
+
+def _params_and_inputs(n=300, entry_pack=2):
+    cfg = _lane_cfg(entry_pack)
     params = nbvh.init_params(jax.random.PRNGKey(0), cfg)
-    # Lift tables above init noise so parity errors are visible.
-    params["lane"] = params["lane"] * 1e3
+    # Lift tables above init noise so parity errors are visible. Pre-round
+    # to bf16 so the packed kernel's entry quantization is a no-op and
+    # parity stays at MXU-rounding level.
+    params["lane"] = (params["lane"] * 1e3).astype(jnp.bfloat16) \
+        .astype(jnp.float32)
     x = jnp.asarray(np.random.default_rng(1).uniform(size=(cfg.input_dims, n)),
                     jnp.float32)
     return cfg, params, x
 
 
-def test_kernel_parity_interpret():
-    cfg, params, x = _params_and_inputs()
+@pytest.mark.parametrize("entry_pack", [1, 2])
+def test_kernel_parity_interpret(entry_pack):
+    cfg, params, x = _params_and_inputs(entry_pack=entry_pack)
     ref = np.asarray(nbvh.apply(params, x, cfg, compute_dtype=jnp.bfloat16))
     out = np.asarray(forward_lane(params, x, cfg, interpret=True))
     assert out.shape == ref.shape
@@ -84,8 +103,9 @@ def test_kernel_parity_interpret():
 
 @pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
                     reason="compiled lane kernel requires the TPU backend")
-def test_kernel_parity_tpu():
-    cfg, params, x = _params_and_inputs()
+@pytest.mark.parametrize("entry_pack", [1, 2])
+def test_kernel_parity_tpu(entry_pack):
+    cfg, params, x = _params_and_inputs(entry_pack=entry_pack)
     ref = np.asarray(nbvh.apply(params, x, cfg, compute_dtype=jnp.bfloat16))
     out = np.asarray(forward_lane(params, x, cfg))
     scale = np.abs(ref).max() + 1e-9
