@@ -456,7 +456,10 @@ def _ray_sort_order(origins, dirs, active):
     key = (octant << (6 * _SORT_BITS)) | (omorton << (3 * _SORT_BITS)) \
         | dmorton
     if active is not None:
-        key = jnp.where(active, key, jnp.int32(1) << 24)
+        # int32 max strictly exceeds every active key (octant<<24 | mortons
+        # < 2^27), so actives occupy EXACTLY the first count positions —
+        # compacted-prefix callers rely on this.
+        key = jnp.where(active, key, jnp.iinfo(jnp.int32).max)
     return jnp.argsort(key)
 
 

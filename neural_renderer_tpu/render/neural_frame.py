@@ -75,7 +75,19 @@ def _bounce_stage_compacted(ctx, params, additional_mesh, use_additional,
         return stage(rays, mask)
 
     def prefix(k, _):
-        (idx,) = jnp.nonzero(mask, size=k, fill_value=n)
+        # Spatially-sorted compaction order: bounce rays are scattered
+        # (origins on surfaces, directions Disney-sampled), so pixel-order
+        # 512-ray blocks build huge cluster footprints in the shell sweeps —
+        # measured 537 ns/ray for the full-batch bounce sweep vs ~58
+        # coherent. Ordering the gathered prefix by (direction octant |
+        # origin morton | direction morton) makes every downstream sweep
+        # (early-termination + all march iterations) run on tight frusta.
+        # Inactive rays key to int32 max, so actives occupy exactly the
+        # first `count` slots (same contract as the nonzero gather this
+        # replaces); per-ray math is order-independent, so results are
+        # unchanged.
+        order = traversal._ray_sort_order(rays.origin, rays.direction, mask)
+        idx = jax.lax.slice(order, (0,), (k,))
         slot = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
         valid = slot < count
         rays_k = pt.BounceRays(
