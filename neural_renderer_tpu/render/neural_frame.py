@@ -82,12 +82,20 @@ def _bounce_stage_compacted(ctx, params, additional_mesh, use_additional,
         # coherent. Ordering the gathered prefix by (direction octant |
         # origin morton | direction morton) makes every downstream sweep
         # (early-termination + all march iterations) run on tight frusta.
-        # Inactive rays key to int32 max, so actives occupy exactly the
-        # first `count` slots (same contract as the nonzero gather this
-        # replaces); per-ray math is order-independent, so results are
-        # unchanged.
-        order = traversal._ray_sort_order(rays.origin, rays.direction, mask)
-        idx = jax.lax.slice(order, (0,), (k,))
+        # Sort the k-sized GATHERED prefix, not the full batch: a TPU
+        # argsort is O(n log^2 n) bitonic passes and a full-batch sort was
+        # ~an order of magnitude more work than the nonzero cumsum + k-key
+        # sort (measured ~200 ms/bounce at 2.07M rays even with zero active
+        # rays). Invalid slots gather idx0 = n -> origin/dir from clipped
+        # lane n-1 with valid=False; their keys sort to the back
+        # (int32 max), so actives still occupy exactly the first `count`
+        # slots and per-ray math is order-independent -> results unchanged.
+        (idx0,) = jnp.nonzero(mask, size=k, fill_value=n)
+        valid0 = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0] < count
+        o_k = jnp.take(rays.origin, idx0, axis=1, mode="clip")
+        d_k = jnp.take(rays.direction, idx0, axis=1, mode="clip")
+        order_k = traversal._ray_sort_order(o_k, d_k, valid0)
+        idx = jnp.take(idx0, order_k)
         slot = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
         valid = slot < count
         rays_k = pt.BounceRays(
@@ -112,12 +120,22 @@ def _bounce_stage_compacted(ctx, params, additional_mesh, use_additional,
         active = jnp.zeros((n,), bool).at[idx].set(act_k & valid, mode="drop")
         return hits, active
 
+    def dead(_):
+        # Zero active bounce rays (common on later bounces once paths have
+        # left the shell): the stage's output for an all-invalid prefix is
+        # exactly (miss, no-actives) — skip the sweeps AND the sort/gather.
+        return miss, jnp.zeros((n,), bool)
+
     k_half = max(512, n // 2)
     k_eighth = max(512, n // 8)
     return jax.lax.cond(
-        count <= k_eighth, functools.partial(prefix, k_eighth),
-        lambda op: jax.lax.cond(count <= k_half,
-                                functools.partial(prefix, k_half), full, op),
+        count == 0, dead,
+        lambda op: jax.lax.cond(
+            count <= k_eighth, functools.partial(prefix, k_eighth),
+            lambda op2: jax.lax.cond(count <= k_half,
+                                     functools.partial(prefix, k_half), full,
+                                     op2),
+            op),
         0)
 
 
