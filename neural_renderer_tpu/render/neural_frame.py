@@ -126,17 +126,19 @@ def _bounce_stage_compacted(ctx, params, additional_mesh, use_additional,
         # exactly (miss, no-actives) — skip the sweeps AND the sort/gather.
         return miss, jnp.zeros((n,), bool)
 
-    k_half = max(512, n // 2)
-    k_eighth = max(512, n // 8)
-    return jax.lax.cond(
-        count == 0, dead,
-        lambda op: jax.lax.cond(
-            count <= k_eighth, functools.partial(prefix, k_eighth),
-            lambda op2: jax.lax.cond(count <= k_half,
-                                     functools.partial(prefix, k_half), full,
-                                     op2),
-            op),
-        0)
+    # Tier ladder: smallest capacity that fits `count` wins. n/4 exists
+    # because measured bounce-1 active fractions sit at ~13-20% (just above
+    # the n/8 cut) — without it they ran the whole stage at n/2 width.
+    tiers = sorted({max(512, n // 8), max(512, n // 4), max(512, n // 2)})
+
+    def cascade(i, op):
+        if i == len(tiers):
+            return full(op)
+        return jax.lax.cond(count <= tiers[i],
+                            functools.partial(prefix, tiers[i]),
+                            functools.partial(cascade, i + 1), op)
+
+    return jax.lax.cond(count == 0, dead, functools.partial(cascade, 0), 0)
 
 
 def render_neural_frame(ctx: NeuralContext, additional_mesh, env, params, accum,
