@@ -99,8 +99,10 @@ def _bounce_stage_compacted(ctx, params, additional_mesh, use_additional,
         slot = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
         valid = slot < count
         rays_k = pt.BounceRays(
-            origin=jnp.take(rays.origin, idx, axis=1, mode="clip"),
-            direction=jnp.take(rays.direction, idx, axis=1, mode="clip"),
+            # o_k/d_k are already gathered; permuting the k-wide buffers is
+            # identical to re-gathering the full batch through idx.
+            origin=jnp.take(o_k, order_k, axis=1),
+            direction=jnp.take(d_k, order_k, axis=1),
             pdf=jnp.where(valid, jnp.take(rays.pdf, idx, mode="clip"), 0.0),
             brdf_weight=jnp.take(rays.brdf_weight, idx, axis=1, mode="clip"),
             distance=jnp.take(rays.distance, idx, mode="clip"))
