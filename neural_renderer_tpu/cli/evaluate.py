@@ -27,6 +27,10 @@ def main(argv=None) -> int:
     parser.add_argument("--batch-spp", type=int, default=8)
     parser.add_argument("--total-samples", type=int, default=None,
                         help="override config total_samples")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel devices: shard pixel stripes "
+                             "over the first N jax devices (height must be "
+                             "divisible by N)")
     args = parser.parse_args(argv)
 
     print("=== Comparison Renderer ===")
@@ -55,6 +59,12 @@ def main(argv=None) -> int:
     print(f"Loaded outer shell: {scene.outer_shell.num_triangles} triangles")
 
     renderer = Renderer(scene, cfg.neural_network)
+    if args.dp > 1:
+        import jax
+        from ..parallel import make_mesh
+        renderer.set_device_mesh(make_mesh(jax.devices(), dp=args.dp, tp=1))
+        print(f"Pixel-stripe data parallelism over {args.dp} devices "
+              f"({jax.devices()[0].platform})")
     renderer.set_constant_neural_color(cfg.material.use_constant_neural_color,
                                        cfg.material.constant_neural_color)
     renderer.resize(args.width, args.height)

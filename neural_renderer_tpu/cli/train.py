@@ -33,6 +33,11 @@ def main(argv=None) -> int:
     parser.add_argument("--lr-schedule", default="constant",
                         choices=["constant", "cosine"])
     parser.add_argument("--log-every", type=int, default=100)
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel devices (segment batch sharded)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel devices (hash tables + MLP "
+                             "matrices sharded)")
     args = parser.parse_args(argv)
 
     import jax
@@ -72,9 +77,18 @@ def main(argv=None) -> int:
     state = (restore_checkpoint(args.resume, tcfg, net_config) if args.resume
              else init_train_state(tcfg, net_config))
 
+    mesh = None
+    if args.dp > 1 or args.tp > 1:
+        from ..parallel import make_mesh, shard_train_state
+        mesh = make_mesh(jax.devices(), dp=args.dp, tp=args.tp)
+        state = shard_train_state(state, mesh)
+        print(f"Device mesh: dp={args.dp} tp={args.tp} "
+              f"({jax.devices()[0].platform})")
+
     step_fn = make_train_step(tcfg, net_config, gt, outer, inner,
                               jnp.asarray(omin, jnp.float32),
-                              jnp.asarray(inv_extent, jnp.float32), radius)
+                              jnp.asarray(inv_extent, jnp.float32), radius,
+                              mesh=mesh)
 
     key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.monotonic()

@@ -48,6 +48,11 @@ def build_renderer(args):
     print(f"Loaded original mesh: {scene.original_mesh.num_triangles} triangles")
 
     renderer = Renderer(scene, cfg.neural_network)
+    if getattr(args, "dp", 1) > 1:
+        import jax
+        from ..parallel import make_mesh
+        renderer.set_device_mesh(make_mesh(jax.devices(), dp=args.dp, tp=1))
+        print(f"Pixel-stripe data parallelism over {args.dp} devices")
     width = args.width or cfg.rendering.width
     height = args.height or cfg.rendering.height
     renderer.resize(width, height)
@@ -237,6 +242,9 @@ def main(argv=None) -> int:
     parser.add_argument("--width", type=int, default=0)
     parser.add_argument("--height", type=int, default=0)
     parser.add_argument("--spp", type=int, default=1)
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel devices for pixel-stripe "
+                             "rendering (height divisible by N)")
     args = parser.parse_args(argv)
 
     if args.headless > 0:

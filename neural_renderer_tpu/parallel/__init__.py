@@ -1,4 +1,5 @@
 from .shardings import (
+    constrain_batch_dp,
     dp_shard_batch,
     make_mesh,
     psnr_tiled,

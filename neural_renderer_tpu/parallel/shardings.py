@@ -183,3 +183,14 @@ def dp_shard_batch(batch, mesh: Mesh, axis: str = "dp"):
         spec = P(axis) if x.ndim == 1 else P(*([None] * (x.ndim - 1)), axis)
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(place, batch)
+
+
+def constrain_batch_dp(batch, mesh: Mesh, axis: str = "dp"):
+    """In-jit twin of dp_shard_batch: annotate a traced SegmentBatch with the
+    dp sharding via with_sharding_constraint, so a step that SAMPLES its
+    batch on-device (train/trainer.py make_train_step) partitions the
+    sampling + loss across `axis` instead of leaving GSPMD to guess."""
+    def place(x):
+        spec = P(axis) if x.ndim == 1 else P(*([None] * (x.ndim - 1)), axis)
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(place, batch)

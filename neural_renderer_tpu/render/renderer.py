@@ -93,6 +93,12 @@ class Renderer:
         from ..ops.denoise import bilateral_denoise
         self._jit_denoise = jax.jit(bilateral_denoise)
 
+        self.device_mesh = None
+        self.mesh_axis = "dp"
+        self._jit_gt_tiled = None
+        self._jit_neural_tiled = None
+        self._net_params_replicated = None
+
     # -- RendererNeural setter API -------------------------------------------
     def resize(self, width: int, height: int):
         if width == self.width and height == self.height:
@@ -136,6 +142,41 @@ class Renderer:
         self.use_direct_env_color = bool(use)
         self.direct_env_color = tuple(color)
 
+    def set_device_mesh(self, mesh, axis: str = "dp"):
+        """Route path-traced frames through the pixel-stripe data-parallel
+        shard_map variants (parallel/shardings.py) over `mesh`. Pass None to
+        go back to single-device. Lambert previews and denoised frames keep
+        the single-device path (they are one-shot / need guide buffers);
+        heights not divisible by the dp extent fall back per-frame."""
+        self.device_mesh = mesh
+        self.mesh_axis = axis
+        self._net_params_replicated = None
+        if mesh is None:
+            self._jit_gt_tiled = None
+            self._jit_neural_tiled = None
+            return
+        from ..parallel import shardings as par
+
+        def gt_tiled(mesh_arrays, env, params, accum):
+            return par.render_gt_frame_tiled(mesh_arrays, env, params, accum,
+                                             mesh, axis)
+
+        def neural_tiled(ctx, add, env, params, accum, use_additional,
+                         compute_dtype):
+            return par.render_neural_frame_tiled(
+                ctx, add, env, params, accum, mesh, axis,
+                use_additional=use_additional, compute_dtype=compute_dtype)
+
+        self._jit_gt_tiled = jax.jit(gt_tiled)
+        self._jit_neural_tiled = jax.jit(
+            neural_tiled, static_argnames=("use_additional", "compute_dtype"))
+
+    def _use_tiled(self) -> bool:
+        return (self.device_mesh is not None
+                and self.device_mesh.shape[self.mesh_axis] > 1
+                and not self.lambert_view and not self.denoise
+                and self.height % self.device_mesh.shape[self.mesh_axis] == 0)
+
     def set_denoise(self, v: bool):
         """Enable the joint bilateral denoiser (wired in here; dormant in the
         reference — denoiser.cuh:46-113)."""
@@ -159,10 +200,10 @@ class Renderer:
                 from ..train.trainer import TrainConfig, restore_checkpoint
                 state = restore_checkpoint(path, TrainConfig(),
                                            self.net_config)
-                self.net_params = state.params
+                self.set_network_params(state.params)
                 return True
-            self.net_params = nbvh.load_flat_blob(
-                path, self.net_config, swap_param_order=swap_param_order)
+            self.set_network_params(nbvh.load_flat_blob(
+                path, self.net_config, swap_param_order=swap_param_order))
             return True
         except (OSError, ValueError) as e:
             import sys
@@ -171,6 +212,19 @@ class Renderer:
 
     def set_network_params(self, params):
         self.net_params = params
+        self._net_params_replicated = None
+
+    def _net_params_current(self):
+        """Network params placed for the active path. Checkpoint restores
+        commit arrays to one device; a shard_map frame needs them replicated
+        over the mesh — cached until the params or mesh change."""
+        if not self._use_tiled():
+            return self.net_params
+        if self._net_params_replicated is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            s = NamedSharding(self.device_mesh, PartitionSpec())
+            self._net_params_replicated = jax.device_put(self.net_params, s)
+        return self._net_params_replicated
 
     # -- internals -------------------------------------------------------------
     def _mesh_arrays(self, name: str):
@@ -268,7 +322,7 @@ class Renderer:
         if neural_ready:
             ctx = NeuralContext(outer=self._mesh_arrays("outer_shell"),
                                 inner=self._mesh_arrays("inner_shell"),
-                                net_params=self.net_params,
+                                net_params=self._net_params_current(),
                                 config=self.net_config)
             add = self._mesh_arrays("additional_mesh")
             use_add = self.use_additional_mesh and not add.is_empty
@@ -283,6 +337,11 @@ class Renderer:
                     use_additional=use_add, compute_dtype=self.compute_dtype,
                     return_guides=True)
                 self._accum_sample_count += self.samples_per_pixel
+            elif self._use_tiled():
+                img, self._accum = self._jit_neural_tiled(
+                    ctx, add, env, params, self._accum,
+                    use_additional=use_add, compute_dtype=self.compute_dtype)
+                self._accum_sample_count += self.samples_per_pixel
             else:
                 img, self._accum = self._jit_neural(
                     ctx, add, env, params, self._accum,
@@ -296,6 +355,10 @@ class Renderer:
             elif self.denoise:
                 img, self._accum, self._guides = self._jit_gt(
                     mesh, env, params, self._accum, return_guides=True)
+                self._accum_sample_count += self.samples_per_pixel
+            elif self._use_tiled():
+                img, self._accum = self._jit_gt_tiled(mesh, env, params,
+                                                      self._accum)
                 self._accum_sample_count += self.samples_per_pixel
             else:
                 img, self._accum = self._jit_gt(mesh, env, params, self._accum)

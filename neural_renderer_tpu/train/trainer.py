@@ -70,15 +70,21 @@ def loss_fn(params, batch, net_config, compute_dtype):
 
 def make_train_step(cfg: TrainConfig, net_config: nbvh.NbvhConfig,
                     gt_mesh, outer, inner, outer_min, outer_inv_extent,
-                    radius: float, donate: bool = True):
+                    radius: float, donate: bool = True, mesh=None,
+                    dp_axis: str = "dp"):
     """Build the jitted (state, key) -> (state, metrics) step: sample a fresh
-    segment batch on-device, compute grads, Adam update."""
+    segment batch on-device, compute grads, Adam update. With `mesh`, the
+    sampled batch is sharding-constrained across `dp_axis` so sampling + loss
+    run data-parallel (pair with parallel.shard_train_state for tp)."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     opt = make_optimizer(cfg)
 
     def step(state: TrainState, key) -> tuple[TrainState, dict]:
         batch = sample_segment_batch(key, gt_mesh, outer, inner, outer_min,
                                      outer_inv_extent, cfg.batch_size, radius)
+        if mesh is not None:
+            from ..parallel.shardings import constrain_batch_dp
+            batch = constrain_batch_dp(batch, mesh, dp_axis)
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, net_config, compute_dtype)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)

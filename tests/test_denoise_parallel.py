@@ -179,3 +179,87 @@ def test_tiled_neural_render_matches_single_device(cpu_devices):
     assert diff.max() <= 3
     assert (diff.sum(axis=-1) > 0).mean() < 0.15
     assert (diff.max(axis=-1) >= 2).mean() < 0.02
+
+
+def test_renderer_device_mesh_routes_tiled(cpu_devices):
+    """Renderer.set_device_mesh makes render() go through the tiled
+    shard_map paths (the user-facing multi-chip entry: evaluate/viewer
+    --dp). GT stripes must match the single-device render within the same
+    recompilation tolerance as the function-level tiled tests."""
+    from neural_renderer_tpu.config import NeuralNetworkConfig
+    from neural_renderer_tpu.parallel import make_mesh
+    from neural_renderer_tpu.render import RenderBasis, Renderer
+    from neural_renderer_tpu.scene.scene import Scene
+
+    def build():
+        scene = Scene()
+        scene.original_mesh = outward_sphere(8, 16, 1.0)
+        r = Renderer(scene, NeuralNetworkConfig())
+        r.resize(16, 16)
+        r.set_bounce_count(1)
+        r.set_use_neural_query(False)
+        r.set_camera_basis(RenderBasis(np.array([0.0, 0.0, -1.0]),
+                                       np.array([1.0, 0.0, 0.0]),
+                                       np.array([0.0, 1.0, 0.0]), 1.0))
+        return r
+
+    with jax.default_device(cpu_devices[0]):
+        single = build()
+        img_ref = single.render([0.0, 0.0, 3.0])
+
+        tiled = build()
+        tiled.set_device_mesh(make_mesh(cpu_devices, dp=8, tp=1))
+        assert tiled._use_tiled()
+        img_tiled = tiled.render([0.0, 0.0, 3.0])
+
+        # Odd height (17 not divisible by 8) must fall back per-frame.
+        tiled.resize(16, 17)
+        assert not tiled._use_tiled()
+        img_fb = tiled.render([0.0, 0.0, 3.0])
+        assert img_fb.shape == (17, 16, 3)
+
+    diff = np.abs(img_ref.astype(int) - img_tiled.astype(int))
+    assert diff.max() <= 1
+    assert (diff.sum(axis=-1) > 0).mean() < 0.05
+
+
+def test_train_step_mesh_constraint(cpu_devices):
+    """make_train_step(mesh=...) — the cli/train --dp/--tp path — must run
+    a sharded optimizer step and produce finite, device-replicable metrics
+    matching the unsharded step."""
+    from neural_renderer_tpu.models import nbvh
+    from neural_renderer_tpu.parallel import make_mesh, shard_train_state
+    from neural_renderer_tpu.train import (TrainConfig, init_train_state,
+                                           make_train_step)
+
+    gt = outward_sphere(8, 16, 1.0).to_arrays()
+    outer = outward_sphere(6, 12, 1.2).to_arrays()
+    inner = outward_sphere(6, 12, 0.8).to_arrays()
+    omin = np.asarray(outer.bvh_bounds_min[:, 0])
+    omax = np.asarray(outer.bvh_bounds_max[:, 0])
+
+    net_config = nbvh.NbvhConfig(log2_hashmap_size=6, base_resolution=4,
+                                 n_levels=2, mlp_width=32, mlp_hidden_layers=2)
+    cfg = TrainConfig(batch_size=256, compute_dtype="float32")
+    key = jax.random.PRNGKey(7)
+
+    with jax.default_device(cpu_devices[0]):
+        args = (cfg, net_config, gt, outer, inner,
+                jnp.asarray(omin, jnp.float32),
+                jnp.asarray(1.0 / (omax - omin), jnp.float32), 3.0)
+        base_state = init_train_state(cfg, net_config)
+
+        ref_step = make_train_step(*args, donate=False)
+        _, ref_metrics = ref_step(base_state, key)
+
+        mesh = make_mesh(cpu_devices, dp=4, tp=2)
+        state = shard_train_state(init_train_state(cfg, net_config), mesh)
+        step = make_train_step(*args, donate=False, mesh=mesh)
+        state2, metrics = step(state, key)
+
+    assert np.isfinite(float(metrics["total"]))
+    # Same RNG key, same init -> the sharded step computes the same loss
+    # (fp tolerance: different partitioned reduction order).
+    np.testing.assert_allclose(float(metrics["total"]),
+                               float(ref_metrics["total"]), rtol=1e-4)
+    assert int(state2.step) == 1
