@@ -441,7 +441,37 @@ def load_mesh_from_file(path: str, normalize: bool = False, scale: float = 1.0) 
         return load_obj(path, normalize=normalize, scale=scale)
     if ext == ".fbx":
         return load_fbx(path, normalize=normalize, scale=scale)
+    if ext in (".ply", ".stl"):
+        return load_ply_stl(path, normalize=normalize, scale=scale)
     raise MeshLoadError(f"Unsupported mesh format '{ext}': {path}")
+
+
+def load_ply_stl(path: str, normalize: bool = False, scale: float = 1.0) -> Mesh:
+    """PLY / STL geometry with the reference's Assimp-path semantics
+    (triangulate + smooth normals + single global material,
+    mesh_loader.cpp:610-691); parsers in scene/ply_stl_loader.py."""
+    from .ply_stl_loader import (GeometryParseError, load_ply_geometry,
+                                 load_stl_geometry)
+    loader = (load_ply_geometry
+              if os.path.splitext(path)[1].lower() == ".ply"
+              else load_stl_geometry)
+    try:
+        vertices, indices, normals = loader(path)
+    except (GeometryParseError, struct.error, KeyError, IndexError) as e:
+        raise MeshLoadError(f"{path}: {e}") from e
+    if normals is None:
+        normals = _smooth_normals(vertices, indices)
+    mesh = Mesh()
+    mesh.vertices = vertices.astype(np.float32)
+    mesh.indices = indices.astype(np.uint32)
+    mesh.normals = normals.astype(np.float32)
+    mesh.material_map = np.zeros(1, np.uint32)
+    mesh.material_ids = np.full(1, -1, np.int32)
+    if normalize:
+        mesh.normalize()
+    mesh.scale(scale)
+    mesh.mark_dirty()
+    return mesh
 
 
 def load_fbx(path: str, normalize: bool = False, scale: float = 1.0) -> Mesh:
