@@ -169,21 +169,43 @@ def render_neural_frame(ctx: NeuralContext, additional_mesh, env, params, accum,
     incoming = None
     cur_hits = hits
     for bounce in range(1, params.max_bounces + 1):
-        rays = pt.sample_bounce_directions(params, pixel_idx, sample_of,
-                                           cur_hits, path.active, incoming)
-        path = pt.update_active_after_sampling(path, cur_hits, rays)
+        def bounce_body(carry, bounce=bounce):
+            path, incoming, cur_hits = carry
+            rays = pt.sample_bounce_directions(params, pixel_idx, sample_of,
+                                               cur_hits, path.active, incoming)
+            path = pt.update_active_after_sampling(path, cur_hits, rays)
 
-        # Early termination + shell march + hybrid merge run on a compacted
-        # active-ray prefix when the count fits a tier (bit-exact vs full).
-        bounce_hits, active = _bounce_stage_compacted(
-            ctx, params, additional_mesh, use_additional, compute_dtype,
-            rays, path.active, compaction=bounce_compaction)
-        path = path._replace(active=active)
+            # Early termination + shell march + hybrid merge run on a
+            # compacted active-ray prefix when the count fits a tier
+            # (bit-exact vs full).
+            bounce_hits, active = _bounce_stage_compacted(
+                ctx, params, additional_mesh, use_additional, compute_dtype,
+                rays, path.active, compaction=bounce_compaction)
+            path = path._replace(active=active)
 
-        path = pt.integrate_bounce(params, env, path, bounce_hits, rays,
-                                   bounce, pixel_idx, sample_of)
-        incoming = rays.direction
-        cur_hits = bounce_hits
+            path = pt.integrate_bounce(params, env, path, bounce_hits, rays,
+                                       bounce, pixel_idx, sample_of)
+            return path, rays.direction, bounce_hits
+
+        if incoming is None:
+            # First bounce: incoming is regenerated from the RNG stream
+            # (sample_bounce_directions None contract) — run unconditionally.
+            path, incoming, cur_hits = bounce_body((path, incoming, cur_hits))
+        else:
+            # Later bounces: when NO path is active the whole body is an
+            # exact identity on PathState — update_active can only clear
+            # flags and integrate_bounce writes radiance/throughput only
+            # under `active` masks (pathtrace.py:217-262). Skipping it also
+            # skips the full-batch sampling + integration VPU work, which
+            # is most of what a dead bounce still cost after the stage-level
+            # dead branch. `incoming`/`cur_hits` differ across branches but
+            # are unobservable: once all paths are inactive they stay
+            # inactive (active' is always a subset), so no later bounce
+            # reads them into the radiance. RNG streams are re-derived per
+            # bounce from (pixel, sample, bounce), never threaded through.
+            path, incoming, cur_hits = jax.lax.cond(
+                jnp.any(path.active), bounce_body, lambda c: c,
+                (path, incoming, cur_hits))
 
     img, new_accum = pt.finalize(params, path.radiance, accum)
     if return_guides:

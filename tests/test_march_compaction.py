@@ -92,3 +92,70 @@ def test_compacted_bounce_stage_matches_full():
     np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
     np.testing.assert_array_equal(np.asarray(acc_a), np.asarray(acc_b))
     assert np.asarray(img_a).std() > 0  # non-degenerate render
+
+
+def test_dead_bounce_skip_matches_unconditional_loop():
+    """Bounces >= 2 are lax.cond-skipped when no path is active
+    (neural_frame.py bounce loop). The frame must stay bit-identical to an
+    unconditional loop — including when mid-loop bounces ARE dead (tiny
+    network + high bounce count kills all paths early)."""
+    import functools
+    from neural_renderer_tpu.render import neural_frame as nf
+    from neural_renderer_tpu.render import pathtrace as pt
+    from neural_renderer_tpu.ops import traversal
+    from neural_renderer_tpu.render.neural_frame import render_neural_frame
+    from neural_renderer_tpu.scene.envmap import EnvironmentMap
+    from neural_renderer_tpu.scene.mesh import Mesh
+
+    outer = outward_sphere(12, 24, 1.2).to_arrays()
+    inner = outward_sphere(12, 24, 0.8).to_arrays()
+    cfg = nbvh.NbvhConfig(log2_hashmap_size=10, base_resolution=8, n_levels=2,
+                          mlp_width=32, mlp_hidden_layers=2)
+    net = nbvh.init_params(jax.random.PRNGKey(5), cfg)
+    ctx = NeuralContext(outer=outer, inner=inner, net_params=net, config=cfg)
+    omin = np.asarray(outer.bvh_bounds_min[:, 0])
+    omax = np.asarray(outer.bvh_bounds_max[:, 0])
+    params = RenderParams.make(
+        width=32, height=16, samples_per_pixel=1, max_bounces=4,
+        cam_pos=[0, 0, 3.0], cam_forward=[0, 0, -1.0], cam_right=[1, 0, 0.0],
+        cam_up=[0, 1, 0.0], fov_y=0.9, material=Material.default(),
+        scene_scale=2.0, outer_shell_min=omin,
+        outer_shell_inv_extent=1.0 / (omax - omin))
+    env = EnvironmentMap().to_arrays()
+    add = Mesh().to_arrays()
+    accum = jnp.zeros((3, 32 * 16), jnp.float32)
+
+    @jax.jit
+    def frame_no_skip(ctx, add, env, params, accum):
+        """The pre-skip loop, inlined: every bounce runs unconditionally."""
+        pixel_idx, sample_of, _, origins, dirs = pt.primary_rays(params)
+        from neural_renderer_tpu.render.neural_march import (
+            trace_neural_segments)
+        hits = trace_neural_segments(ctx, params, origins, dirs,
+                                     camera_rays=True,
+                                     compute_dtype=jnp.float32)
+        path = pt.init_path_state(params, env, hits, dirs)
+        incoming = None
+        cur_hits = hits
+        for bounce in range(1, params.max_bounces + 1):
+            rays = pt.sample_bounce_directions(params, pixel_idx, sample_of,
+                                               cur_hits, path.active, incoming)
+            path = pt.update_active_after_sampling(path, cur_hits, rays)
+            bounce_hits, active = nf._bounce_stage_compacted(
+                ctx, params, add, False, jnp.float32, rays, path.active,
+                compaction=False)
+            path = path._replace(active=active)
+            path = pt.integrate_bounce(params, env, path, bounce_hits, rays,
+                                       bounce, pixel_idx, sample_of)
+            incoming = rays.direction
+            cur_hits = bounce_hits
+        return pt.finalize(params, path.radiance, accum)
+
+    img_ref, acc_ref = frame_no_skip(ctx, add, env, params, accum)
+    img, acc = jax.jit(render_neural_frame,
+                       static_argnames=("use_additional", "compute_dtype",
+                                        "bounce_compaction"))(
+        ctx, add, env, params, accum, compute_dtype=jnp.float32,
+        bounce_compaction=False)
+    np.testing.assert_array_equal(np.asarray(img_ref), np.asarray(img))
+    np.testing.assert_array_equal(np.asarray(acc_ref), np.asarray(acc))

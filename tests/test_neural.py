@@ -124,9 +124,10 @@ def test_chunked_apply_matches_unchunked(monkeypatch):
     monkeypatch.setattr(nbvh, "ENC_CHUNK", 32)  # 100 -> 4 chunks, padded tail
     chunked = np.asarray(nbvh.apply(params, x, cfg,
                                     compute_dtype=jnp.float32))
-    # Not bit-exact: the chunked matmuls tile a different batch shape on the
-    # MXU, shifting FMA contraction order by ~1 ulp on a handful of elements.
-    np.testing.assert_allclose(ref, chunked, rtol=1e-6, atol=1e-7)
+    # Not bit-exact: the chunked matmuls tile a different batch shape,
+    # shifting FMA contraction order by ~1-2 ulp on a handful of elements
+    # (both on the MXU and in the CPU backend's different fusion choices).
+    np.testing.assert_allclose(ref, chunked, rtol=1e-6, atol=5e-7)
 
 
 def test_bf16_close_to_f32():
