@@ -342,14 +342,26 @@ def render_gt_frame(mesh, env, params, accum, row0=0, n_rows=None,
     incoming = None
     cur_hits = hits
     for bounce in range(1, params.max_bounces + 1):
-        rays = sample_bounce_directions(params, pixel_idx, sample_of, cur_hits,
-                                        path.active, incoming)
-        path = update_active_after_sampling(path, cur_hits, rays)
-        bounce_hits = trace_bounces_gt(mesh, params, rays)
-        path = integrate_bounce(params, env, path, bounce_hits, rays, bounce,
-                                pixel_idx, sample_of)
-        incoming = rays.direction
-        cur_hits = bounce_hits
+        def bounce_body(carry, bounce=bounce):
+            path, incoming, cur_hits = carry
+            rays = sample_bounce_directions(params, pixel_idx, sample_of,
+                                            cur_hits, path.active, incoming)
+            path = update_active_after_sampling(path, cur_hits, rays)
+            bounce_hits = trace_bounces_gt(mesh, params, rays)
+            path = integrate_bounce(params, env, path, bounce_hits, rays,
+                                    bounce, pixel_idx, sample_of)
+            return path, rays.direction, bounce_hits
+
+        if incoming is None:
+            path, incoming, cur_hits = bounce_body((path, incoming, cur_hits))
+        else:
+            # Dead-bounce skip: exact identity on PathState when no path is
+            # active — same argument as the neural frame's bounce loop
+            # (render/neural_frame.py); trace_bounces_gt masks on pdf>0 and
+            # integrate writes only under active masks.
+            path, incoming, cur_hits = jax.lax.cond(
+                jnp.any(path.active), bounce_body, lambda c: c,
+                (path, incoming, cur_hits))
 
     img, new_accum = finalize(params, path.radiance, accum)
     if return_guides:
