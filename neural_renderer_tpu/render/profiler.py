@@ -268,3 +268,42 @@ def profile_neural_frame(ctx, additional_mesh, env, params, accum=None,
     _, t.frame_total_ms = _timed(
         frame, ctx, additional_mesh, env, params, accum, runs=runs)
     return t
+
+
+def profile_neural_frame_by_bounce(ctx, additional_mesh, env, params,
+                                   use_additional=False,
+                                   compute_dtype=jnp.bfloat16,
+                                   runs=2) -> dict:
+    """Fused-frame wall-clock at max_bounces = 0..params.max_bounces.
+
+    Unlike the category re-runs above, these are whole-program numbers: the
+    increment between consecutive bounce counts is what that bounce actually
+    costs inside the fused frame (including its compaction conds, sorting and
+    any work XLA fuses across stages). Used to size the compaction tier
+    ladder (BASELINE.md). Returns {"frame_ms": [ms at b=0, ...],
+    "bounce_ms": [increment of bounce 1, ...], "ray_count": n}.
+
+    Each bounce count is a separate XLA program — on a slow-compile host this
+    is max_bounces+1 full frame compiles; drop the resolution first.
+    """
+    import dataclasses
+
+    from .neural_frame import render_neural_frame
+
+    accum = jnp.zeros((3, params.pixel_count), jnp.float32)
+    frame = jax.jit(render_neural_frame,
+                    static_argnames=("use_additional", "compute_dtype"))
+    frame_ms = []
+    for b in range(params.max_bounces + 1):
+        p = dataclasses.replace(params, max_bounces=b)
+        run = lambda c, a, e, pp, ac: frame(c, a, e, pp, ac,
+                                            use_additional=use_additional,
+                                            compute_dtype=compute_dtype)
+        _, ms = _timed(run, ctx, additional_mesh, env, p, accum, runs=runs)
+        frame_ms.append(ms)
+    return {
+        "frame_ms": frame_ms,
+        "bounce_ms": [frame_ms[i] - frame_ms[i - 1]
+                      for i in range(1, len(frame_ms))],
+        "ray_count": params.pixel_count * params.samples_per_pixel,
+    }

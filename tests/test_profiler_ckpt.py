@@ -49,3 +49,34 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_profile_neural_frame_by_bounce():
+    from neural_renderer_tpu.render.neural_march import NeuralContext
+    from neural_renderer_tpu.render.profiler import (
+        profile_neural_frame_by_bounce)
+    from neural_renderer_tpu.scene.mesh import Mesh
+
+    outer = outward_sphere(6, 12, 1.2).to_arrays()
+    inner = outward_sphere(6, 12, 0.8).to_arrays()
+    cfg = nbvh.NbvhConfig(log2_hashmap_size=6, base_resolution=4, n_levels=2,
+                          mlp_width=32, mlp_hidden_layers=2)
+    ctx = NeuralContext(outer=outer, inner=inner,
+                        net_params=nbvh.init_params(jax.random.PRNGKey(0), cfg),
+                        config=cfg)
+    omin = np.asarray(outer.bvh_bounds_min[:, 0])
+    omax = np.asarray(outer.bvh_bounds_max[:, 0])
+    params = RenderParams.make(
+        width=8, height=8, samples_per_pixel=1, max_bounces=2,
+        cam_pos=[0, 0, 3.0], cam_forward=[0, 0, -1.0], cam_right=[1, 0, 0.0],
+        cam_up=[0, 1, 0.0], fov_y=1.0, material=Material.default(),
+        scene_scale=2.0, outer_shell_min=omin,
+        outer_shell_inv_extent=1.0 / (omax - omin))
+    env = EnvironmentMap().to_arrays()
+    prof = profile_neural_frame_by_bounce(ctx, Mesh().to_arrays(), env,
+                                          params, compute_dtype=jnp.float32,
+                                          runs=1)
+    assert len(prof["frame_ms"]) == 3          # b = 0, 1, 2
+    assert len(prof["bounce_ms"]) == 2
+    assert all(m > 0 for m in prof["frame_ms"])
+    assert prof["ray_count"] == 64
