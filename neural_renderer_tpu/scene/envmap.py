@@ -30,6 +30,45 @@ def decode_rgbe(rgbe: np.ndarray) -> np.ndarray:
     return rgbe[..., :3].astype(np.float32) * scale[..., None]
 
 
+_RLE_LIB = None
+_RLE_TRIED = False
+
+
+def _load_rle_native():
+    """ctypes handle to csrc/libhdr_rle.so (compiled on demand, like the
+    native BVH builder in scene/bvh.py); None keeps the Python decoder."""
+    global _RLE_LIB, _RLE_TRIED
+    if _RLE_TRIED:
+        return _RLE_LIB
+    _RLE_TRIED = True
+    import ctypes
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    lib_path = os.path.join(root, "csrc", "libhdr_rle.so")
+    if not os.path.exists(lib_path):
+        src = os.path.join(root, "csrc", "hdr_rle.cpp")
+        if os.path.exists(src):
+            import subprocess
+            try:
+                subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+                                src, "-o", lib_path],
+                               check=True, capture_output=True, timeout=120)
+            except (OSError, subprocess.SubprocessError):
+                return None
+    if not os.path.exists(lib_path):
+        return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+        lib.decode_hdr_rle.restype = ctypes.c_longlong
+        lib.decode_hdr_rle.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        _RLE_LIB = lib
+    except OSError:
+        _RLE_LIB = None
+    return _RLE_LIB
+
+
 def load_hdr(path: str) -> np.ndarray:
     """Radiance .hdr parser with RLE scanlines (scene.cu:40-184)."""
     with open(path, "rb") as f:
@@ -64,6 +103,25 @@ def load_hdr(path: str) -> np.ndarray:
 
     pixels = np.zeros((height, width, 3), dtype=np.float32)
     raw = np.frombuffer(data, dtype=np.uint8)
+
+    # Fast path: the native decoder handles the all-RLE scanline section in
+    # one call (tens of seconds -> milliseconds on 4k maps). Any header it
+    # does not recognise returns <0 and the Python decoder below — the
+    # authoritative semantics, asserted byte-identical in tests — takes over
+    # from the untouched `pos`.
+    if pos + 4 <= len(raw) and raw[pos] == 2 and raw[pos + 1] == 2 \
+            and (raw[pos + 2] & 0x80) == 0:
+        lib = _load_rle_native()
+        if lib is not None:
+            import ctypes
+            seg = np.ascontiguousarray(raw[pos:])
+            out = np.empty((height * width, 4), dtype=np.uint8)
+            consumed = lib.decode_hdr_rle(
+                seg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_longlong(seg.size), width, height,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            if consumed > 0:
+                return decode_rgbe(out).reshape(height, width, 3)
 
     for y in range(height):
         if pos + 4 > len(raw):
