@@ -19,10 +19,20 @@ Runtime controls (interactive) — every reference ImGui control
   v/shift+v env strength x0.8/x1.25, g direct-env-color toggle,
   f/shift+f FOV -/+0.05 rad, t per-kernel timing table (ns/ray + Mrays),
   i mesh/BVH/network memory stats, c print camera matrix JSON,
-  o save PNG, h help, esc quit
+  o save PNG, u pause/resume live training (with --train-steps), h help,
+  esc quit
+
+Train-while-render (--train-steps N): the online-training mode SURVEY.md §7
+step 9 plans and the reference's inference-only runtime lacks — N optimizer
+steps run between frames (on-device segment sampling against the GT mesh,
+train/trainer.py) and the refreshed weights are pushed into the renderer;
+the weights-version key resets neural accumulation so every frame reflects
+the latest network. Warm-starts from the config checkpoint when present.
 
 Usage: python -m neural_renderer_tpu.cli.viewer <config.json>
          [--headless N] [--output DIR] [--width W --height H]
+         [--train-steps N --train-batch B --train-lr LR
+          --train-ckpt-dir DIR --train-resume CKPT]
 """
 
 from __future__ import annotations
@@ -86,21 +96,113 @@ def build_renderer(args):
     return cfg, renderer, controller, current_basis
 
 
+class LiveTrainer:
+    """Train-while-render: runs `steps_per_frame` optimizer steps between
+    frames and pushes the params into the renderer. Dataset, losses, and
+    optimizer are the train CLI's (train/trainer.py); warm-starts from the
+    renderer's current weights (the config checkpoint) unless `resume` names
+    an orbax train-state checkpoint."""
+
+    def __init__(self, scene, renderer, steps_per_frame: int,
+                 batch_size: int = 16384, lr: float = 1e-3,
+                 resume: str = "", seed: int = 0, warm_start: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        from ..train import (TrainConfig, init_train_state, make_optimizer,
+                             make_train_step, restore_checkpoint)
+
+        self.renderer = renderer
+        self.steps_per_frame = steps_per_frame
+        self.enabled = True
+        self.last_metrics: dict = {}
+        tcfg = TrainConfig(batch_size=batch_size, learning_rate=lr)
+
+        if resume:
+            self.state = restore_checkpoint(resume, tcfg, renderer.net_config)
+        else:
+            self.state = init_train_state(tcfg, renderer.net_config)
+            if warm_start:
+                # Fine-tune the weights currently being viewed (fresh
+                # optimizer state over the loaded params).
+                self.state = self.state._replace(
+                    params=renderer.net_params,
+                    opt_state=make_optimizer(tcfg).init(renderer.net_params))
+
+        gt = scene.original_mesh.to_arrays()
+        outer = scene.outer_shell.to_arrays()
+        inner = scene.inner_shell.to_arrays()
+        omin, omax = scene.outer_shell.bounds()
+        extent = omax - omin
+        inv_extent = np.where(extent != 0,
+                              1.0 / np.where(extent == 0, 1, extent), 0.0)
+        radius = 1.5 * float(np.linalg.norm(omax - omin))
+        # donate=False: the renderer keeps a live reference to state.params
+        # between steps; donating them would delete the buffers under it.
+        self.step_fn = make_train_step(
+            tcfg, renderer.net_config, gt, outer, inner,
+            jnp.asarray(omin, jnp.float32), jnp.asarray(inv_extent, jnp.float32),
+            radius, donate=False)
+        self.key = jax.random.PRNGKey(seed + 1)
+        self._tcfg = tcfg
+
+    def run(self) -> dict:
+        """One frame's worth of training; returns the latest loss metrics."""
+        import jax
+        metrics = self.last_metrics
+        for _ in range(self.steps_per_frame):
+            self.key, sub = jax.random.split(self.key)
+            self.state, metrics = self.step_fn(self.state, sub)
+        self.last_metrics = {k: float(v) for k, v in metrics.items()}
+        self.renderer.set_network_params(self.state.params)
+        return self.last_metrics
+
+    def save(self, ckpt_dir: str) -> str:
+        from ..train import save_checkpoint
+        return save_checkpoint(ckpt_dir, self.state)
+
+
+def make_live_trainer(args, cfg, scene, renderer):
+    """Build the LiveTrainer when --train-steps > 0 (None otherwise)."""
+    if getattr(args, "train_steps", 0) <= 0:
+        return None
+    if (scene.original_mesh.num_triangles == 0
+            or scene.outer_shell.num_triangles == 0):
+        print("train-while-render needs an original mesh and outer shell; "
+              "training disabled", file=sys.stderr)
+        return None
+    warm = bool(cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path)
+                and not args.train_resume)
+    trainer = LiveTrainer(scene, renderer, args.train_steps,
+                          batch_size=args.train_batch, lr=args.train_lr,
+                          resume=args.train_resume, warm_start=warm)
+    print(f"Live training: {args.train_steps} steps/frame, batch "
+          f"{args.train_batch}" + (" (warm start)" if warm else ""))
+    return trainer
+
+
 def run_headless(args):
     cfg, renderer, controller, current_basis = build_renderer(args)
     os.makedirs(args.output, exist_ok=True)
     from ..metrics import save_png
 
+    trainer = make_live_trainer(args, cfg, renderer.scene, renderer)
     renderer.set_camera_basis(current_basis())
     for i in range(args.headless):
+        loss = ""
+        if trainer is not None:
+            m = trainer.run()
+            loss = f", loss {m.get('total', float('nan')):.4f}"
         img = renderer.render(controller.camera.position)
         fps = 1.0 / max(renderer.last_frame_seconds, 1e-9)
         print(f"frame {i}: {renderer.accum_sample_count} spp accumulated, "
-              f"{renderer.mrays_per_second:.1f} Mrays/s, {fps:.2f} fps")
+              f"{renderer.mrays_per_second:.1f} Mrays/s, {fps:.2f} fps{loss}")
         if args.save_sequence:
             save_png(os.path.join(args.output, f"frame_{i:04d}.png"), img)
     save_png(os.path.join(args.output, "viewer_final.png"),
              renderer.device_pixels())
+    if trainer is not None and args.train_ckpt_dir:
+        print(f"checkpoint: {trainer.save(args.train_ckpt_dir)}")
     return 0
 
 
@@ -135,6 +237,7 @@ def run_interactive(args):
     from ..config import camera_state_to_matrix
     from ..metrics import save_png
 
+    trainer = make_live_trainer(args, cfg, renderer.scene, renderer)
     pressed: set[str] = set()
     state = {"quit": False, "dirty": True}
 
@@ -194,6 +297,10 @@ def run_interactive(args):
             controller.camera.fov_y = max(0.1, controller.camera.fov_y - 0.05)
         elif k == "shift+f":
             controller.camera.fov_y = min(3.0, controller.camera.fov_y + 0.05)
+        elif k == "u":
+            if trainer is not None:
+                trainer.enabled = not trainer.enabled
+                print(f"training {'resumed' if trainer.enabled else 'paused'}")
         elif k == "t":
             print(profile_table(renderer, controller))
         elif k == "i":
@@ -221,14 +328,20 @@ def run_interactive(args):
         last = now
         if pressed:
             controller.apply_keys(pressed, dt)
+        loss = ""
+        if trainer is not None and trainer.enabled:
+            m = trainer.run()
+            loss = f" | loss {m.get('total', float('nan')):.4f}"
         renderer.set_camera_basis(current_basis())
         img = renderer.render(controller.camera.position)
         im.set_data(img)
         ax.set_title(f"{renderer.accum_sample_count} spp | "
                      f"{renderer.mrays_per_second:.0f} Mrays/s | "
-                     f"neural={renderer.use_neural_query}")
+                     f"neural={renderer.use_neural_query}{loss}")
         fig.canvas.draw_idle()
         fig.canvas.flush_events()
+    if trainer is not None and args.train_ckpt_dir:
+        print(f"checkpoint: {trainer.save(args.train_ckpt_dir)}")
     return 0
 
 
@@ -245,6 +358,14 @@ def main(argv=None) -> int:
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel devices for pixel-stripe "
                              "rendering (height divisible by N)")
+    parser.add_argument("--train-steps", type=int, default=0, metavar="N",
+                        help="train-while-render: N optimizer steps per frame")
+    parser.add_argument("--train-batch", type=int, default=16384)
+    parser.add_argument("--train-lr", type=float, default=1e-3)
+    parser.add_argument("--train-ckpt-dir", default="",
+                        help="save an orbax train-state checkpoint on exit")
+    parser.add_argument("--train-resume", default="",
+                        help="orbax train-state checkpoint to resume")
     args = parser.parse_args(argv)
 
     if args.headless > 0:

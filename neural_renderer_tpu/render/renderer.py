@@ -77,6 +77,7 @@ class Renderer:
         self._pixels = None
         self._mesh_cache = {}
         self._last_state = None
+        self._weights_version = 0
         self.last_frame_seconds = 0.0
         self.last_frame_rays = 0
 
@@ -213,6 +214,11 @@ class Renderer:
     def set_network_params(self, params):
         self.net_params = params
         self._net_params_replicated = None
+        # New weights invalidate accumulated samples (train-while-render
+        # pushes params every frame); versioning them into _settings_key
+        # resets the accumulator, matching the reference's setting-change
+        # detection (cuda_renderer_neural.cu:2191-2228).
+        self._weights_version += 1
 
     def _net_params_current(self):
         """Network params placed for the active path. Checkpoint restores
@@ -265,7 +271,10 @@ class Renderer:
                 # too (cuda_renderer_neural.cu:2191-2228) — omitting these
                 # blended stale samples into the running average.
                 self.use_constant_neural_color, self.constant_neural_color,
-                self.use_direct_env_color, self.direct_env_color)
+                self.use_direct_env_color, self.direct_env_color,
+                # Weight pushes only invalidate frames that sample the
+                # network; a GT view keeps accumulating while training runs.
+                self._weights_version if self.use_neural_query else 0)
 
     def _build_params(self, cam_pos) -> RenderParams:
         classic = self.scene.original_mesh

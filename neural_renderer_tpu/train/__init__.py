@@ -5,6 +5,7 @@ from .trainer import (
     TrainState,
     export_reference_blob,
     init_train_state,
+    make_optimizer,
     make_train_step,
     make_train_step_on_batch,
     restore_checkpoint,

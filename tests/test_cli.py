@@ -107,6 +107,32 @@ def test_viewer_headless_tiny(tmp_path, capsys):
     assert "Mrays/s" in out
 
 
+def test_viewer_train_while_render(tmp_path, capsys):
+    """Train-while-render: loss is reported and decreases across frames, the
+    renderer picks up the refreshed weights (accumulation resets per push),
+    and the exit checkpoint is written."""
+    from neural_renderer_tpu.cli.viewer import main as viewer_main
+    cfg_path = _write_scene(tmp_path, use_neural=True)
+    out_dir = str(tmp_path / "view")
+    ckpt_dir = str(tmp_path / "live_ckpt")
+    rc = viewer_main([str(cfg_path), "--headless", "3", "--output", out_dir,
+                      "--width", "24", "--height", "16",
+                      "--train-steps", "4", "--train-batch", "512",
+                      "--train-ckpt-dir", ckpt_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    losses = [float(line.split("loss ")[1])
+              for line in out.splitlines() if "loss " in line]
+    assert len(losses) == 3 and np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # 12 steps on the tiny sphere must improve
+    assert "checkpoint:" in out and os.path.isdir(ckpt_dir)
+    # Every frame renders with fresh weights -> accumulation restarts at the
+    # configured spp instead of growing (weights-version in _settings_key).
+    spp = [int(line.split(": ")[1].split(" spp")[0])
+           for line in out.splitlines() if "spp accumulated" in line]
+    assert spp == [spp[0]] * 3
+
+
 # ---------------------------------------------------------------------------
 # Input controller
 # ---------------------------------------------------------------------------
