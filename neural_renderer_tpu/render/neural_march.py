@@ -35,6 +35,20 @@ from .pathtrace import HitState
 MAX_SEGMENT_ITERATIONS = 10   # cuda_renderer_neural.cu:714
 SEGMENT_EPSILON = 1e-8        # cuda_renderer_neural.cu:715
 
+# Camera-entry strategy (A/B, see BASELINE.md):
+#   "fwd2"  — ONE dual-shell sweep with second-forward tracking serves shell
+#             entry + a full-batch peeled iteration 1 (measured 21.5 ms
+#             @130k rays vs 29.4 for entry-trace + full-batch iteration 1).
+#   "trace" — plain FORWARD entry trace (early-out kernel, outer mesh only),
+#             then iteration 1 flows through the compaction ladder like any
+#             other: on typical scenes only ~25% of camera rays hit the
+#             outer shell, so the n/2 tier runs the iteration-1 sweep AND
+#             network forward on a quarter of the batch, with none of the
+#             fwd2 sweep's ~2x cost or crossing-derivation fix-ups.
+import os as _os
+
+CAMERA_ENTRY_DEFAULT = _os.environ.get("NR_CAMERA_ENTRY", "fwd2")
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -89,7 +103,8 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
                           camera_rays: bool = True,
                           compute_dtype=jnp.bfloat16,
                           compaction: bool | None = None,
-                          entry=None) -> HitState:
+                          entry=None,
+                          camera_entry: str | None = None) -> HitState:
     """Full multi-segment march; returns a HitState over [N] rays.
 
     `params` is the RenderParams block (material/constant-color settings,
@@ -99,10 +114,15 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
     (bounce_shell_entry_and_early_term) provides it from its shell sweep.
     """
     n = origins.shape[1]
+    if camera_entry is None:
+        camera_entry = CAMERA_ENTRY_DEFAULT
 
     sw_first = None  # iteration-1 sweep, precomputed on the camera fast path
     if entry is not None:
         entry_pos, active, accum_t = entry
+    elif camera_rays and camera_entry == "trace":
+        entry_pos, active, accum_t = _shell_entry_camera(ctx.outer, origins,
+                                                         dirs)
     elif camera_rays:
         # Camera fast path: ONE sweep from the camera serves the shell entry
         # (outer_fwd — traceOuterShellEntryKernel :720-767) AND iteration
@@ -400,16 +420,33 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         if use_compaction:
             import functools
             count = jnp.sum(active.astype(jnp.int32))
-            # Two capacity tiers: later march iterations usually carry <1% of
-            # rays, so the small tier pays ~1/64 of the full-batch cost.
+            # Capacity tiers: later march iterations usually carry <1% of
+            # rays (small tier); the n/2 tier catches a camera_entry="trace"
+            # iteration 1 (~25% of camera rays hit the outer shell) — the
+            # march's network + sweep work is heavy enough per ray that
+            # compaction pays even at half capacity (unlike the elementwise
+            # bounce stages, BASELINE.md negative result).
             k_small = max(512, min(k_cap, n // 64))
+            # The big (n/2) tier only exists for the "trace" camera entry —
+            # its iteration 1 is the one march stage with ~n/4 actives;
+            # elsewhere it would just lengthen compiles as a dead branch.
+            k_big = min(n, max(k_cap, n // 2)) \
+                if (camera_rays and entry is None
+                    and camera_entry == "trace") else k_cap
+            if k_big > k_cap:
+                tail = lambda op: jax.lax.cond(
+                    count <= k_big,
+                    functools.partial(compact_branch, k_cap=k_big),
+                    full_branch, op)
+            else:
+                tail = full_branch
             active, entry_pos, accum_t, out = jax.lax.cond(
                 count <= k_small,
                 functools.partial(compact_branch, k_cap=k_small),
                 lambda op: jax.lax.cond(
                     count <= k_cap,
                     functools.partial(compact_branch, k_cap=k_cap),
-                    full_branch, op),
+                    tail, op),
                 operand)
         else:
             active, entry_pos, accum_t, out = full_branch(operand)

@@ -57,6 +57,70 @@ def test_compacted_march_matches_full():
     assert h.sum() > 100
 
 
+def test_camera_entry_modes_agree():
+    """camera_entry="trace" (plain forward entry trace + compacted
+    iteration 1) vs "fwd2" (fused entry sweep + derived iteration-1
+    crossings): identical semantics, different FP association — hits must
+    agree except for boundary-ulp rays. The trace mode's compaction ladder
+    (incl. its n/2 tier) must match its own full path to 1 ulp: unlike the
+    fwd2 test above (iteration 1 peeled at full batch in both programs),
+    here iteration 1 itself runs at prefix shape, and XLA's FMA contraction
+    differs per shape."""
+    outer = outward_sphere(12, 24, 1.2).to_arrays()
+    inner = outward_sphere(12, 24, 0.8).to_arrays()
+    cfg = nbvh.NbvhConfig(log2_hashmap_size=10, base_resolution=8, n_levels=2,
+                          mlp_width=32, mlp_hidden_layers=2)
+    net = nbvh.init_params(jax.random.PRNGKey(2), cfg)
+    ctx = NeuralContext(outer=outer, inner=inner, net_params=net, config=cfg)
+    omin = np.asarray(outer.bvh_bounds_min[:, 0])
+    omax = np.asarray(outer.bvh_bounds_max[:, 0])
+    params = RenderParams.make(
+        width=64, height=64, samples_per_pixel=1, max_bounces=1,
+        cam_pos=[0, 0, 3.0], cam_forward=[0, 0, -1.0], cam_right=[1, 0, 0.0],
+        cam_up=[0, 1, 0.0], fov_y=0.9, material=Material.default(),
+        scene_scale=2.0, outer_shell_min=omin,
+        outer_shell_inv_extent=1.0 / (omax - omin))
+
+    n = 4096
+    rng = np.random.default_rng(3)
+    o = rng.normal(size=(n, 3))
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 3.0
+    t = rng.normal(size=(n, 3)) * 0.5
+    # Aim ~70% of rays off the shell so iteration 1's active count lands in
+    # the n/2 tier (the tier this test exists to exercise).
+    t[rng.random(n) < 0.7] += np.array([10.0, 0.0, 0.0])
+    d = t - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    oj = jnp.asarray(o.T, jnp.float32)
+    dj = jnp.asarray(d.T, jnp.float32)
+
+    run = jax.jit(lambda mode, comp: trace_neural_segments(
+        ctx, params, oj, dj, compute_dtype=jnp.float32, compaction=comp,
+        camera_entry=mode), static_argnums=(0, 1))
+    a = run("fwd2", False)
+    b = run("trace", False)
+    bc = run("trace", True)
+
+    # Compaction vs full within the trace mode (ulp-level only).
+    np.testing.assert_array_equal(np.asarray(b.hit), np.asarray(bc.hit))
+    hb = np.asarray(b.hit)
+    np.testing.assert_allclose(np.asarray(b.position).T[hb],
+                               np.asarray(bc.position).T[hb],
+                               rtol=1e-4, atol=1e-6)
+
+    # Cross-mode agreement (ulp-level drift only).
+    ha = np.asarray(a.hit)
+    assert (ha != hb).mean() < 0.01
+    both = ha & hb
+    assert both.sum() > 100
+    np.testing.assert_allclose(np.asarray(a.position).T[both],
+                               np.asarray(b.position).T[both],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.distance)[both],
+                               np.asarray(b.distance)[both],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_compacted_bounce_stage_matches_full():
     """The whole-bounce-stage compaction in render_neural_frame (early
     termination + march + merge on a gathered prefix) must leave the frame
