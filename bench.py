@@ -43,6 +43,18 @@ def build_scene():
         m.mark_dirty()
         return m
 
+    if os.environ.get("BENCH_SCENE", "sphere") == "knot":
+        # Stress scene (configs/knot, scripts/make_knot_scene.py): 65k-tri
+        # trefoil tube between non-convex 9.2k-tri shells — clustered
+        # streaming trace + genuinely multi-segment marches.
+        from neural_renderer_tpu.scene.mesh_loader import load_mesh_auto
+        base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "configs", "knot")
+        original = load_mesh_auto(os.path.join(base, "original.obj"))
+        inner = load_mesh_auto(os.path.join(base, "inner.obj"))
+        outer = load_mesh_auto(os.path.join(base, "outer.obj"))
+        return original, inner, outer, None
+
     # Shelled-sphere benchmark scene: the dbrt_data assets are not in the
     # snapshot (SURVEY.md caveats), so the workload is synthetic but
     # structurally identical: original mesh between an inner/outer shell.
@@ -99,11 +111,14 @@ def make_frame_fn(device, width, height, spp, bounces, compute_dtype):
                         config=cfg)
 
     omin, omax = outer.bounds()
+    knot = os.environ.get("BENCH_SCENE", "sphere") == "knot"
     params = RenderParams.make(
         width=width, height=height, samples_per_pixel=spp, max_bounces=bounces,
-        cam_pos=[0.0, 0.0, 3.0], cam_forward=[0.0, 0.0, -1.0],
+        cam_pos=[0.0, 0.0, 7.0 if knot else 3.0],
+        cam_forward=[0.0, 0.0, -1.0],
         cam_right=[1.0, 0.0, 0.0], cam_up=[0.0, 1.0, 0.0], fov_y=0.9,
-        material=Material.default(), scene_scale=2.0,
+        material=Material.default(),
+        scene_scale=float(np.linalg.norm(omax - omin)) if knot else 2.0,
         outer_shell_min=omin, outer_shell_inv_extent=1.0 / (omax - omin))
     params = put(params)
 
@@ -214,6 +229,8 @@ def main():
     grid = os.environ.get("BENCH_GRID", "lane")
     add_tris = int(os.environ.get("BENCH_ADDITIONAL_TRIS", "0"))
     extra = f"+add{add_tris}" if add_tris else ""
+    if os.environ.get("BENCH_SCENE", "sphere") != "sphere":
+        extra += f" {os.environ['BENCH_SCENE']}"
     print(json.dumps({
         "metric": f"neural render Mrays/s @ {width}x{height} spp{spp} b{bounces} {grid}{extra} ({accel.platform})",
         "value": round(mrays, 3),

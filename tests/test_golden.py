@@ -26,26 +26,27 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 _ON_RECORDING_PLATFORM = jax.default_backend() in ("tpu", "axon")
 
 
-def _sphere_scene():
+ALL_FIXTURES = ("gt_lambert_96x54", "gt_path_96x54_spp1_b2",
+                "knot_lambert_96x54")
+
+
+def _scene(scene_dir, config_name):
     from neural_renderer_tpu.config import load_config
     from neural_renderer_tpu.scene.scene import Scene
     cfg = load_config(os.path.join(os.path.dirname(GOLDEN_DIR), os.pardir,
-                                   "configs", "sphere", "sphere.json"))
+                                   "configs", scene_dir, config_name))
     return cfg, Scene.from_config(cfg, sphere_fallback=False)
 
 
-def render_fixtures() -> dict:
-    """name -> u8 image. Deterministic renders only (no trained weights)."""
+def _make_renderer(cfg, scene):
     from neural_renderer_tpu.render import RenderBasis, Renderer
     from neural_renderer_tpu.config import matrix_to_camera_state
     from neural_renderer_tpu.cli.input_controller import (CameraState,
                                                           InputController)
-    cfg, scene = _sphere_scene()
     renderer = Renderer(scene, cfg.neural_network)
     renderer.resize(96, 54)
     renderer.set_bounce_count(2)
     renderer.set_use_neural_query(False)
-
     pos, yaw, pitch = matrix_to_camera_state(cfg.camera.matrix)
     controller = InputController(CameraState(position=pos, yaw=yaw,
                                              pitch=pitch,
@@ -53,17 +54,36 @@ def render_fixtures() -> dict:
     b = controller.basis
     renderer.set_camera_basis(RenderBasis(b.forward, b.right, b.up,
                                           cfg.camera.yfov))
+    return renderer, pos
 
+
+def render_fixtures(names=None) -> dict:
+    """name -> u8 image. Deterministic renders only (no trained weights);
+    with `names`, only those fixtures are rendered (each golden test pays
+    for its own image, not the whole set)."""
+    want = set(names if names is not None else ALL_FIXTURES)
     out = {}
-    renderer.set_lambert_view(True)
-    out["gt_lambert_96x54"] = renderer.render(pos)
-    renderer.set_lambert_view(False)
-    renderer.reset_samples()
-    out["gt_path_96x54_spp1_b2"] = renderer.render(pos)
+    if want & {"gt_lambert_96x54", "gt_path_96x54_spp1_b2"}:
+        cfg, scene = _scene("sphere", "sphere.json")
+        renderer, pos = _make_renderer(cfg, scene)
+        if "gt_lambert_96x54" in want:
+            renderer.set_lambert_view(True)
+            out["gt_lambert_96x54"] = renderer.render(pos)
+        if "gt_path_96x54_spp1_b2" in want:
+            renderer.set_lambert_view(False)
+            renderer.reset_samples()
+            out["gt_path_96x54_spp1_b2"] = renderer.render(pos)
+    if "knot_lambert_96x54" in want:
+        # 65k-tri trefoil (configs/knot): pins the two-level clustered
+        # streaming trace, which the sphere fixtures never reach.
+        cfg, scene = _scene("knot", "knot.json")
+        renderer, pos = _make_renderer(cfg, scene)
+        renderer.set_lambert_view(True)
+        out["knot_lambert_96x54"] = renderer.render(pos)
     return out
 
 
-@pytest.mark.parametrize("name", ["gt_lambert_96x54", "gt_path_96x54_spp1_b2"])
+@pytest.mark.parametrize("name", list(ALL_FIXTURES))
 def test_golden_images(name):
     path = os.path.join(GOLDEN_DIR, f"{name}.png")
     if not os.path.exists(path):
@@ -71,7 +91,7 @@ def test_golden_images(name):
                     "(run scripts/record_goldens.py on the TPU)")
     import imageio.v2 as imageio
     golden = np.asarray(imageio.imread(path))[..., :3]
-    img = render_fixtures()[name]
+    img = render_fixtures([name])[name]
     assert img.shape == golden.shape
     if _ON_RECORDING_PLATFORM:
         np.testing.assert_array_equal(img, golden)
