@@ -332,6 +332,45 @@ def load_gltf_with_materials(path: str, normalize: bool = False,
 # ---------------------------------------------------------------------------
 
 def load_obj(path: str, normalize: bool = False, scale: float = 1.0) -> Mesh:
+    from .obj_native import parse_obj_native
+    parsed = parse_obj_native(path)   # ~40x; None -> pure-Python below
+    if parsed is None:
+        parsed = _parse_obj_python(path)
+    (positions, uvs, normals, norm_valid, indices, has_tex,
+     has_norm) = parsed
+
+    mesh = Mesh()
+    mesh.vertices = positions
+    mesh.indices = indices
+    if has_tex:
+        mesh.texcoords = uvs
+
+    if has_norm and bool(norm_valid.all()):
+        lens = np.linalg.norm(normals, axis=1, keepdims=True)
+        mesh.normals = np.where(lens > 1e-8,
+                                normals / np.maximum(lens, 1e-20),
+                                np.array([0, 1, 0], np.float32)).astype(np.float32)
+    else:
+        mesh.normals = _smooth_normals(mesh.vertices, mesh.indices)
+
+    # Single primitive using the global material (mesh_loader.cpp:636-637).
+    mesh.material_map = np.zeros(1, dtype=np.uint32)
+    mesh.material_ids = np.full(1, -1, dtype=np.int32)
+    mesh.has_mesh_materials = False
+
+    if normalize:
+        mesh.normalize()
+    if scale != 1.0:
+        mesh.scale(scale)
+    mesh.mark_dirty()
+    return mesh
+
+
+def _parse_obj_python(path: str):
+    """Pure-Python OBJ parse — fallback and bit-parity oracle for the
+    native parser (csrc/obj_parser.cpp). Returns the unified-vertex tuple
+    (positions [V,3] f32, uvs [V,2] f32, normals [V,3] f32,
+     norm_valid [V] bool, indices [T,3] u32, has_tex, has_norm)."""
     positions, tex, norms = [], [], []
     faces = []  # list of lists of (vi, ti, ni)
 
@@ -388,32 +427,15 @@ def load_obj(path: str, normalize: bool = False, scale: float = 1.0) -> Mesh:
         for k in range(1, len(ids) - 1):  # fan triangulation
             out_idx.append((ids[0], ids[k], ids[k + 1]))
 
-    mesh = Mesh()
-    mesh.vertices = np.asarray(out_pos, dtype=np.float32)
-    mesh.indices = np.asarray(out_idx, dtype=np.uint32)
-    if ntex > 0:
-        mesh.texcoords = np.asarray(out_uv, dtype=np.float32)
-
-    have_norms = nnorm > 0 and all(n is not None for n in out_norm)
-    if have_norms:
-        nr = np.asarray(out_norm, dtype=np.float32)
-        lens = np.linalg.norm(nr, axis=1, keepdims=True)
-        mesh.normals = np.where(lens > 1e-8, nr / np.maximum(lens, 1e-20),
-                                np.array([0, 1, 0], np.float32)).astype(np.float32)
-    else:
-        mesh.normals = _smooth_normals(mesh.vertices, mesh.indices)
-
-    # Single primitive using the global material (mesh_loader.cpp:636-637).
-    mesh.material_map = np.zeros(1, dtype=np.uint32)
-    mesh.material_ids = np.full(1, -1, dtype=np.int32)
-    mesh.has_mesh_materials = False
-
-    if normalize:
-        mesh.normalize()
-    if scale != 1.0:
-        mesh.scale(scale)
-    mesh.mark_dirty()
-    return mesh
+    v = len(out_pos)
+    norm_valid = np.array([n is not None for n in out_norm], dtype=bool)
+    normals = np.asarray([n if n is not None else [0.0, 0.0, 0.0]
+                          for n in out_norm], dtype=np.float32).reshape(v, 3)
+    return (np.asarray(out_pos, dtype=np.float32).reshape(v, 3),
+            np.asarray(out_uv, dtype=np.float32).reshape(v, 2),
+            normals, norm_valid,
+            np.asarray(out_idx, dtype=np.uint32).reshape(len(out_idx), 3),
+            ntex > 0, nnorm > 0)
 
 
 def _smooth_normals(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:
