@@ -171,11 +171,20 @@ def load_hdr(path: str) -> np.ndarray:
 
 
 def _load_exr(path: str) -> np.ndarray:
-    import imageio.v3 as iio
-    img = np.asarray(iio.imread(path)).astype(np.float32)
-    if img.ndim == 2:
-        img = img[..., None].repeat(3, axis=-1)
-    return img[..., :3]
+    # Own scanline reader (scene/exr.py) — this image ships no EXR codec
+    # (imageio/cv2 both decline), so like the RGBE parser above the format
+    # is handled in-framework (tinyexr role, scene.cu:204-243). imageio is
+    # the fallback for exotic files (PIZ etc.) in environments that have a
+    # plugin for it.
+    from .exr import ExrError, read_exr
+    try:
+        return read_exr(path)[..., :3]
+    except ExrError:
+        import imageio.v3 as iio
+        img = np.asarray(iio.imread(path)).astype(np.float32)
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, axis=-1)
+        return img[..., :3]
 
 
 def _load_ldr(path: str) -> np.ndarray:

@@ -1,0 +1,179 @@
+"""Own OpenEXR scanline reader (scene/exr.py): round-trip against a
+test-local writer covering every supported compression (NONE/RLE/ZIPS/ZIP),
+pixel type (HALF/FLOAT/UINT), multi-block images, luminance-only files, and
+the raw-block fallback; clear errors for unsupported flavors. The reader
+fills tinyexr's role (scene.cu:204-243) — no EXR codec ships in this
+image's imageio/cv2."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from neural_renderer_tpu.scene.exr import ExrError, read_exr
+
+_DT = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
+
+
+def _deinterleave(b: bytes) -> np.ndarray:
+    a = np.frombuffer(b, np.uint8)
+    half = (a.size + 1) // 2
+    out = np.empty(a.size, np.uint8)
+    out[:half] = a[0::2]
+    out[half:] = a[1::2]
+    return out
+
+
+def _delta_encode(a: np.ndarray) -> bytes:
+    d = a.astype(np.int64)
+    d[1:] = d[1:] - d[:-1] + 128
+    return (d & 0xFF).astype(np.uint8).tobytes()
+
+
+def _rle_encode(b: bytes) -> bytes:
+    """Simple literal-only RLE (negative counts) — valid EXR RLE stream."""
+    out = bytearray()
+    i = 0
+    while i < len(b):
+        n = min(127, len(b) - i)
+        out += struct.pack("<b", -n) + b[i:i + n]
+        i += n
+    return bytes(out)
+
+
+def write_exr(path, img, ptype=1, comp=0, channels="RGB", y_order=None):
+    """Test-local scanline EXR writer (inverse of scene/exr.py)."""
+    h, w = img.shape[:2]
+    lines_per = {0: 1, 1: 1, 2: 1, 3: 16}[comp]
+
+    def attr(name, typ, payload):
+        return (name.encode() + b"\0" + typ.encode() + b"\0"
+                + struct.pack("<i", len(payload)) + payload)
+
+    ch = b""
+    for c in sorted(channels):
+        ch += (c.encode() + b"\0" + struct.pack("<i", ptype)
+               + b"\0\0\0\0" + struct.pack("<ii", 1, 1))
+    ch += b"\0"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = (attr("channels", "chlist", ch)
+              + attr("compression", "compression", bytes([comp]))
+              + attr("dataWindow", "box2i", box)
+              + attr("displayWindow", "box2i", box)
+              + attr("lineOrder", "lineOrder", b"\0")
+              + attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+              + attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+              + attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+              + b"\0")
+
+    sorted_chans = sorted(channels)
+    chunks = []
+    ys = list(range(0, h, lines_per))
+    for y in ys:
+        ny = min(lines_per, h - y)
+        rows = b""
+        for line in range(ny):
+            for ci, c in enumerate(sorted_chans):
+                plane = img[..., channels.index(c)] if img.ndim == 3 else img
+                rows += np.ascontiguousarray(
+                    plane[y + line]).astype(_DT[ptype]).tobytes()
+        if comp in (2, 3):
+            enc = zlib.compress(_delta_encode(_deinterleave(rows)))
+            if len(enc) >= len(rows):
+                enc = rows  # raw fallback, as real writers do
+        elif comp == 1:
+            enc = _rle_encode(_delta_encode(_deinterleave(rows)))
+            if len(enc) >= len(rows):
+                enc = rows
+        else:
+            enc = rows
+        chunks.append((y, enc))
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", 20000630, 2))
+        f.write(header)
+        base = 8 + len(header) + 8 * len(chunks)
+        off = base
+        for y, enc in chunks:
+            f.write(struct.pack("<Q", off))
+            off += 8 + len(enc)
+        for y, enc in chunks:
+            f.write(struct.pack("<ii", y, len(enc)))
+            f.write(enc)
+
+
+@pytest.mark.parametrize("comp", [0, 1, 2, 3])
+@pytest.mark.parametrize("ptype", [1, 2])
+def test_roundtrip_compressions_and_types(tmp_path, comp, ptype):
+    rng = np.random.default_rng(comp * 10 + ptype)
+    img = (rng.random((37, 23, 3)) * 4.0).astype(np.float32)
+    if ptype == 1:
+        img = img.astype(np.float16).astype(np.float32)  # storage-exact
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img, ptype=ptype, comp=comp)
+    back = read_exr(p)
+    assert back.shape == (37, 23, 3) and back.dtype == np.float32
+    np.testing.assert_array_equal(back, img)
+
+
+def test_uint_channels(tmp_path):
+    img = np.arange(8 * 5 * 3, dtype=np.uint32).reshape(8, 5, 3)
+    p = str(tmp_path / "u.exr")
+    write_exr(p, img, ptype=0, comp=0)
+    np.testing.assert_array_equal(read_exr(p), img.astype(np.float32))
+
+
+def test_luminance_only(tmp_path):
+    img = np.linspace(0, 9, 6 * 4, dtype=np.float32).reshape(6, 4)
+    p = str(tmp_path / "y.exr")
+    write_exr(p, img, ptype=2, comp=2, channels="Y")
+    back = read_exr(p)
+    assert back.shape == (6, 4, 3)
+    np.testing.assert_array_equal(back[..., 0], img)
+    np.testing.assert_array_equal(back[..., 1], img)
+
+
+def test_zip_multiblock_tall_image(tmp_path):
+    # > 16 scanlines -> multiple ZIP blocks, last one partial.
+    img = (np.random.default_rng(7).random((41, 9, 3)) * 2).astype(np.float32)
+    p = str(tmp_path / "tall.exr")
+    write_exr(p, img, ptype=2, comp=3)
+    np.testing.assert_array_equal(read_exr(p), img)
+
+
+def test_incompressible_zip_block_stays_raw(tmp_path):
+    # Random f32 noise rarely deflates below raw size for tiny rows; the
+    # writer falls back to raw and the reader must detect it by size.
+    img = np.frombuffer(np.random.default_rng(3).bytes(4 * 4 * 3 * 4),
+                        np.uint32).reshape(4, 4, 3) & 0x7F7F7F7F
+    img = img.view(np.float32) if False else img  # keep as UINT payload
+    p = str(tmp_path / "raw.exr")
+    write_exr(p, img, ptype=0, comp=3)
+    np.testing.assert_array_equal(read_exr(p), img.astype(np.float32))
+
+
+def test_rejects_unsupported(tmp_path):
+    img = np.zeros((4, 4, 3), np.float32)
+    p = str(tmp_path / "piz.exr")
+    write_exr(p, img, ptype=2, comp=0)
+    raw = bytearray(open(p, "rb").read())
+    i = raw.index(b"compression\0compression\0")
+    raw[i + len(b"compression\0compression\0") + 4] = 4  # PIZ
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ExrError, match="PIZ"):
+        read_exr(p)
+    open(p, "wb").write(b"NOTEXR" + bytes(64))
+    with pytest.raises(ExrError, match="magic"):
+        read_exr(p)
+
+
+def test_envmap_dispatch(tmp_path):
+    from neural_renderer_tpu.scene.envmap import EnvironmentMap
+    img = (np.random.default_rng(0).random((8, 16, 3)) * 3).astype(np.float32)
+    p = str(tmp_path / "env.exr")
+    write_exr(p, img, ptype=2, comp=3)
+    env = EnvironmentMap()
+    env.load_from_file(p)
+    assert env.is_valid
+    np.testing.assert_array_equal(env.pixels, img)
