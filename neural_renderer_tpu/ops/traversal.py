@@ -338,6 +338,12 @@ def _trace_dense(mesh, origins, dirs, mode: int, active) -> TraceResult:
 
 def _trace_dense_tpu(mesh, origins, dirs, mode: int, active) -> TraceResult:
     from .trace_pallas import BLOCK_RAYS, TRI_TILE, trace_dense_pallas
+    import os as _os
+    if _os.environ.get("NR_TRACE_MXU") == "1":
+        # Opt-in matmul formulation (ops/trace_mxu.py): pair math on the
+        # MXU at bf16x6, ~1-ulp off the VPU kernel — A/B pending, see
+        # BASELINE.md roadmap lever 6.
+        from .trace_mxu import trace_dense_mxu_pallas as trace_dense_pallas  # noqa: F811
     n = origins.shape[1]
     num_tris = mesh.indices.shape[1]
     t_pad = -(-num_tris // TRI_TILE) * TRI_TILE
