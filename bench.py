@@ -206,6 +206,8 @@ def _cpu_baseline_mrays(bounces: int) -> float | None:
 
 
 def main():
+    from neural_renderer_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()  # no-op on the remote TPU unless NR_COMPILE_CACHE_TPU=1
     import jax
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))

@@ -15,6 +15,8 @@ from ..metrics import compute_flip, compute_psnr, flip_vertically, load_image
 
 
 def main(argv=None) -> int:
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 2:
         print(f"Usage: compare_images <reference_image> <test_image> [flip_output.png]",

@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main(argv=None) -> int:
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     parser = argparse.ArgumentParser(description="GT vs neural comparison renderer")
     parser.add_argument("config", nargs="?", default="configs/statuette_obj.json")
     parser.add_argument("--width", type=int, default=1920)

@@ -21,6 +21,8 @@ import numpy as np
 
 
 def main(argv=None) -> int:
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     parser = argparse.ArgumentParser(description="Shell-network trainer")
     parser.add_argument("config")
     parser.add_argument("--steps", type=int, default=2000)

@@ -346,6 +346,8 @@ def run_interactive(args):
 
 
 def main(argv=None) -> int:
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     parser = argparse.ArgumentParser(description="Interactive neural renderer viewer")
     parser.add_argument("config", nargs="?", default="configs/statuette_obj.json")
     parser.add_argument("--headless", type=int, default=0, metavar="N",

@@ -19,6 +19,14 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent compilation cache: repeat suite runs skip XLA compiles (the
+# dominant cost on this 1-core host). Silence XLA:CPU's benign
+# machine-feature-hint warnings printed on every cached-executable load.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+from neural_renderer_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
