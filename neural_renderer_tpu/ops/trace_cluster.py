@@ -36,6 +36,7 @@ walking pointers we make the work dense at CLUSTER granularity:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -148,11 +149,33 @@ def _block_cluster_mask(origins, dirs, cluster_bounds, active,
 # ---------------------------------------------------------------------------
 
 def _sweep_cluster(cluster, o_ref, d_ref, tri_ref, out_ref, mode: int,
-                   base=0):
+                   base=0, mxu: bool = False):
     """Register-tiled Moeller-Trumbore of one ray block against one cluster;
     accumulates best-t/tri into out_ref. tri_ref is either a DMA'd scratch
     tile (base=0) or the whole VMEM-resident triangle array (base = the
-    cluster's column offset)."""
+    cluster's column offset). With mxu, the pair math runs as matmuls
+    (ops/trace_mxu.py bilinear factorization) instead of the VPU loop."""
+    if mxu:
+        from .trace_mxu import _pair_eval, ray_features
+        F = ray_features(o_ref[:, :], d_ref[:, :])
+        best_t = out_ref[0, :]
+        best_tri = jax.lax.bitcast_convert_type(out_ref[1, :], jnp.int32)
+        for tile in range(CLUSTER_SIZE // TRI_TILE):
+            tb = tri_ref[:, pl.ds(base + tile * TRI_TILE, TRI_TILE)]
+            t, ok = _pair_eval(F, tb, mode)
+            t = jnp.where(ok & (t > MIN_T), t, 1e30)
+            tc = jnp.min(t, axis=1)
+            tids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            ci = jnp.min(jnp.where(t <= tc[:, None], tids, TRI_TILE), axis=1)
+            better = tc < best_t
+            best_t = jnp.where(better, tc, best_t)
+            best_tri = jnp.where(
+                better, cluster * CLUSTER_SIZE + tile * TRI_TILE + ci,
+                best_tri)
+        out_ref[0, :] = best_t
+        out_ref[1, :] = jax.lax.bitcast_convert_type(best_tri, jnp.float32)
+        return
+
     ox = o_ref[0, :][:, None]
     oy = o_ref[1, :][:, None]
     oz = o_ref[2, :][:, None]
@@ -273,7 +296,8 @@ def _stream_worklist(mask, btmin, kmax: int):
 
 def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_ref, o_ref, d_ref,
                    exit_ref, out_ref, ids_s, tmin_s, tile_v, row_sem,
-                   tile_sem, *, mode: int, resident: bool):
+                   tile_sem, *, mode: int, resident: bool,
+                   mxu: bool = False):
     i = pl.program_id(0)
     cnt = counts_ref[i]
     k = ids_s.shape[0]
@@ -304,12 +328,13 @@ def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_ref, o_ref, d_ref,
             # Triangles live whole in VMEM: slice tiles directly — no DMA,
             # ~4x cheaper per cluster (measured round 2, BASELINE.md).
             _sweep_cluster(ids_s[j], o_ref, d_ref, tris_ref, out_ref, mode,
-                           base=ids_s[j] * CLUSTER_SIZE)
+                           base=ids_s[j] * CLUSTER_SIZE, mxu=mxu)
         else:
             dma = tile_dma(ids_s[j])
             dma.start()
             dma.wait()
-            _sweep_cluster(ids_s[j], o_ref, d_ref, tile_v, out_ref, mode)
+            _sweep_cluster(ids_s[j], o_ref, d_ref, tile_v, out_ref, mode,
+                           mxu=mxu)
         nj = j + 1
         # Front-to-back early-out — a real BREAK, unlike the grid-step
         # kernels' predication. Each ray's contribution to the block bound
@@ -356,8 +381,13 @@ def trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
     def ray_map(i, counts_ref):
         return (0, i)
 
+    # Opt-in MXU pair math (BASELINE.md lever 6). Read at trace time: a
+    # process-level switch for bench A/Bs, not a per-call toggle.
+    mxu = os.environ.get("NR_TRACE_MXU") == "1"
+
     out = pl.pallas_call(
-        functools.partial(_stream_kernel, mode=mode, resident=resident),
+        functools.partial(_stream_kernel, mode=mode, resident=resident,
+                          mxu=mxu),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
@@ -401,10 +431,37 @@ def trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
 
 
 def _sweep4_cluster(cluster, outer_clusters: int, o_ref, d_ref, tri_ref,
-                    out_ref, base=0, with_fwd2=True):
+                    out_ref, base=0, with_fwd2=True, mxu: bool = False):
     """t-only dual-facing Moeller-Trumbore of one ray block against one
     cluster; folds mins into out_ref rows (of, ob, if, ib, of2 = second
-    outer forward). tri_ref/base as in _sweep_cluster."""
+    outer forward). tri_ref/base as in _sweep_cluster. With mxu, the pair
+    math runs as matmuls (ops/trace_mxu.py); forward/backward split comes
+    from det's sign (facing = -det)."""
+    if mxu:
+        from .trace_mxu import pair_eval_raw, ray_features
+        F = ray_features(o_ref[:, :], d_ref[:, :])
+        t_fwd = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
+        t_bwd = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
+        t_fwd2 = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
+        for tile in range(CLUSTER_SIZE // TRI_TILE):
+            tb = tri_ref[:, pl.ds(base + tile * TRI_TILE, TRI_TILE)]
+            t, ok, det = pair_eval_raw(F, tb)
+            valid = ok & (t > MIN_T)
+            tf = jnp.where(valid & (det > 0.0), t, 1e30)
+            tile_fwd = jnp.min(tf, axis=1)
+            if with_fwd2:
+                tile_fwd2 = jnp.min(
+                    jnp.where(tf > tile_fwd[:, None], tf, 1e30), axis=1)
+                t_fwd2 = jnp.minimum(jnp.maximum(t_fwd, tile_fwd),
+                                     jnp.minimum(t_fwd2, tile_fwd2))
+            t_fwd = jnp.minimum(t_fwd, tile_fwd)
+            t_bwd = jnp.minimum(
+                t_bwd,
+                jnp.min(jnp.where(valid & (det < 0.0), t, 1e30), axis=1))
+        _sweep4_fold(cluster, outer_clusters, out_ref, t_fwd, t_bwd, t_fwd2,
+                     with_fwd2)
+        return
+
     ox = o_ref[0, :][:, None]
     oy = o_ref[1, :][:, None]
     oz = o_ref[2, :][:, None]
@@ -468,6 +525,13 @@ def _sweep4_cluster(cluster, outer_clusters: int, o_ref, d_ref, tri_ref,
         t_bwd = jnp.minimum(
             t_bwd, jnp.min(jnp.where(ok & (facing > 0.0), t, 1e30), axis=1))
 
+    _sweep4_fold(cluster, outer_clusters, out_ref, t_fwd, t_bwd, t_fwd2,
+                 with_fwd2)
+
+
+def _sweep4_fold(cluster, outer_clusters, out_ref, t_fwd, t_bwd, t_fwd2,
+                 with_fwd2: bool):
+    """Fold one cluster's dual-facing mins into the outer or inner rows."""
     is_outer = cluster < outer_clusters
 
     @pl.when(is_outer)
@@ -488,7 +552,7 @@ def _sweep4_cluster(cluster, outer_clusters: int, o_ref, d_ref, tri_ref,
 def _sweep_stream_kernel(counts_ref, ids_hbm, tris_ref, o_ref, d_ref,
                          out_ref, ids_s, tile_v, row_sem, tile_sem, *,
                          outer_clusters: int, resident: bool,
-                         with_fwd2: bool):
+                         with_fwd2: bool, mxu: bool = False):
     i = pl.program_id(0)
     cnt = counts_ref[i]
     k = ids_s.shape[0]
@@ -504,7 +568,7 @@ def _sweep_stream_kernel(counts_ref, ids_hbm, tris_ref, o_ref, d_ref,
         if resident:
             _sweep4_cluster(ids_s[j], outer_clusters, o_ref, d_ref, tris_ref,
                             out_ref, base=ids_s[j] * CLUSTER_SIZE,
-                            with_fwd2=with_fwd2)
+                            with_fwd2=with_fwd2, mxu=mxu)
         else:
             dma = pltpu.make_async_copy(
                 tris_ref.at[:, pl.ds(ids_s[j] * CLUSTER_SIZE, CLUSTER_SIZE)],
@@ -512,7 +576,7 @@ def _sweep_stream_kernel(counts_ref, ids_hbm, tris_ref, o_ref, d_ref,
             dma.start()
             dma.wait()
             _sweep4_cluster(ids_s[j], outer_clusters, o_ref, d_ref, tile_v,
-                            out_ref, with_fwd2=with_fwd2)
+                            out_ref, with_fwd2=with_fwd2, mxu=mxu)
         return 0
 
     jax.lax.fori_loop(0, cnt, body, 0)
@@ -546,7 +610,8 @@ def sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,
     return pl.pallas_call(
         functools.partial(_sweep_stream_kernel,
                           outer_clusters=outer_clusters, resident=resident,
-                          with_fwd2=with_fwd2),
+                          with_fwd2=with_fwd2,
+                          mxu=os.environ.get("NR_TRACE_MXU") == "1"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),

@@ -73,8 +73,10 @@ def tri_features(tb):
     return f_det, f_u, f_v, f_t
 
 
-def _pair_eval(F, tb, mode: int):
-    """[RAY_K, N] ray features x [9, T] tile -> (t [N, T], ok [N, T])."""
+def pair_eval_raw(F, tb):
+    """[RAY_K, N] ray features x [9, T] tile -> (t, ok, det), each [N, T].
+    `ok` carries every cull except the facing modes; facing = -det, so
+    callers apply TraceMode (or dual-facing splits) from det's sign."""
     f_det, f_u, f_v, f_t = tri_features(tb)
     dot = functools.partial(
         jax.lax.dot_general,
@@ -94,6 +96,12 @@ def _pair_eval(F, tb, mode: int):
     ok &= (v >= 0.0) & (u + v <= 1.0)
     t = t_num * inv_det
     ok &= t > TRI_EPSILON
+    return t, ok, det
+
+
+def _pair_eval(F, tb, mode: int):
+    """[RAY_K, N] ray features x [9, T] tile -> (t [N, T], ok [N, T])."""
+    t, ok, det = pair_eval_raw(F, tb)
     if mode == 1:    # FORWARD_ONLY: facing = -det < 0
         ok &= det > 0.0
     elif mode == 2:  # BACKWARD_ONLY

@@ -81,6 +81,29 @@ def test_mxu_twin_matches_brute_all_modes():
         assert same_tri.mean() > 0.999, mode
 
 
+def test_mxu_dual_facing_split_matches_sweep():
+    """The sweep kernels split forward/backward from det's sign (facing =
+    -det); the split must reproduce the facing-culled closest hits."""
+    from neural_renderer_tpu.ops.trace_mxu import pair_eval_raw
+    mesh = outward_sphere(10, 20, 1.0).to_arrays()
+    o, d = _rays(1024, seed=7)
+    t, ok, det = pair_eval_raw(ray_features(o, d), mesh.tris_packed)
+    valid = ok & (t > traversal.MIN_T)
+    t_fwd = jnp.min(jnp.where(valid & (det > 0), t, 1e30), axis=1)
+    t_bwd = jnp.min(jnp.where(valid & (det < 0), t, 1e30), axis=1)
+    for got, mode in ((t_fwd, traversal.FORWARD_ONLY),
+                      (t_bwd, traversal.BACKWARD_ONLY)):
+        ref = traversal.trace_mesh_brute(mesh, o, d, mode)
+        hit = np.asarray(got) < 1e30
+        want = np.asarray(ref.hit)
+        assert (hit != want).mean() < 2e-3, mode
+        both = hit & want
+        assert both.sum() > 200
+        np.testing.assert_allclose(np.asarray(got)[both],
+                                   np.asarray(ref.t)[both],
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_padding_triangles_never_hit():
     mesh = outward_sphere(6, 12, 1.0).to_arrays()
     o, d = _rays(256, seed=3)
