@@ -59,6 +59,11 @@ inline bool parse_double(const char *&p, const char *end, double *out) {
     char *ep = nullptr;
     double v = strtod(p, &ep);
     if (ep == p || ep > end) return false;
+    // Python float() parity: no hex literals ("0x10"), and the token must
+    // end at whitespace/EOL ("3x" raises there; strtod would salvage 3.0).
+    for (const char *q = p; q < ep; q++)
+        if (*q == 'x' || *q == 'X') return false;
+    if (ep < end && !isspace((unsigned char)*ep)) return false;
     p = ep;
     *out = v;
     return true;

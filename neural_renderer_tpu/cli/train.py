@@ -49,7 +49,8 @@ def main(argv=None) -> int:
     from ..models import nbvh
     from ..scene.scene import Scene
     from ..train import (TrainConfig, export_reference_blob, init_train_state,
-                         make_train_step, restore_checkpoint, save_checkpoint)
+                         make_train_step, restore_checkpoint, save_checkpoint,
+                         segment_domain)
 
     cfg = load_config(args.config)
     scene = Scene.from_config(cfg, sphere_fallback=False)
@@ -71,10 +72,7 @@ def main(argv=None) -> int:
     gt = scene.original_mesh.to_arrays()
     outer = scene.outer_shell.to_arrays()
     inner = scene.inner_shell.to_arrays()
-    omin, omax = scene.outer_shell.bounds()
-    extent = omax - omin
-    inv_extent = np.where(extent != 0, 1.0 / np.where(extent == 0, 1, extent), 0.0)
-    radius = 1.5 * float(np.linalg.norm(omax - omin))
+    omin, inv_extent, radius = segment_domain(scene)
 
     state = (restore_checkpoint(args.resume, tcfg, net_config) if args.resume
              else init_train_state(tcfg, net_config))
@@ -88,9 +86,7 @@ def main(argv=None) -> int:
               f"({jax.devices()[0].platform})")
 
     step_fn = make_train_step(tcfg, net_config, gt, outer, inner,
-                              jnp.asarray(omin, jnp.float32),
-                              jnp.asarray(inv_extent, jnp.float32), radius,
-                              mesh=mesh)
+                              omin, inv_extent, radius, mesh=mesh)
 
     key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.monotonic()

@@ -107,10 +107,10 @@ class LiveTrainer:
                  batch_size: int = 16384, lr: float = 1e-3,
                  resume: str = "", seed: int = 0, warm_start: bool = False):
         import jax
-        import jax.numpy as jnp
 
         from ..train import (TrainConfig, init_train_state, make_optimizer,
-                             make_train_step, restore_checkpoint)
+                             make_train_step, restore_checkpoint,
+                             segment_domain)
 
         self.renderer = renderer
         self.steps_per_frame = steps_per_frame
@@ -132,16 +132,11 @@ class LiveTrainer:
         gt = scene.original_mesh.to_arrays()
         outer = scene.outer_shell.to_arrays()
         inner = scene.inner_shell.to_arrays()
-        omin, omax = scene.outer_shell.bounds()
-        extent = omax - omin
-        inv_extent = np.where(extent != 0,
-                              1.0 / np.where(extent == 0, 1, extent), 0.0)
-        radius = 1.5 * float(np.linalg.norm(omax - omin))
+        omin, inv_extent, radius = segment_domain(scene)
         # donate=False: the renderer keeps a live reference to state.params
         # between steps; donating them would delete the buffers under it.
         self.step_fn = make_train_step(
-            tcfg, renderer.net_config, gt, outer, inner,
-            jnp.asarray(omin, jnp.float32), jnp.asarray(inv_extent, jnp.float32),
+            tcfg, renderer.net_config, gt, outer, inner, omin, inv_extent,
             radius, donate=False)
         self.key = jax.random.PRNGKey(seed + 1)
         self._tcfg = tcfg

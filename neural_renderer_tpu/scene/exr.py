@@ -69,7 +69,21 @@ def _rle_decode(raw: bytes, expect: int) -> bytes:
 
 def read_exr(path: str) -> np.ndarray:
     """Read an EXR image to float32 [H, W, 3] (R,G,B; a luminance-only 'Y'
-    image is replicated across channels)."""
+    image is replicated across channels). Raises ExrError for anything this
+    reader can't handle — including corrupt/truncated files — so callers'
+    fallbacks actually fire."""
+    try:
+        return _read_exr(path)
+    except ExrError:
+        raise
+    except (ValueError, IndexError, struct.error, zlib.error, EOFError,
+            OverflowError, MemoryError) as e:
+        # bytes.index misses, short struct reads, bogus deflate streams,
+        # absurd sizes from corrupt headers — all "not a readable EXR".
+        raise ExrError(f"corrupt EXR: {type(e).__name__}: {e}") from e
+
+
+def _read_exr(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         data = f.read()
     if len(data) < 8:
@@ -89,6 +103,8 @@ def read_exr(path: str) -> np.ndarray:
         typ, pos = _cstr(data, pos)
         size = struct.unpack_from("<i", data, pos)[0]
         pos += 4
+        if size < 0 or pos + size > len(data):
+            raise ExrError(f"attribute '{name}' has bad size {size}")
         attrs[name] = (typ, data[pos:pos + size])
         pos += size
     pos += 1  # header terminator
@@ -132,6 +148,8 @@ def read_exr(path: str) -> np.ndarray:
 
     for off in offsets:
         y, size = struct.unpack_from("<ii", data, off)
+        if y < ymin or y > ymax:
+            raise ExrError(f"chunk scanline y={y} outside data window")
         raw = data[off + 8:off + 8 + size]
         ny = min(lines_per, ymax - y + 1)
         expect = ny * row_bytes

@@ -75,8 +75,12 @@ def parse_obj_native(path: str):
     or None when the native path is unavailable or declines the file
     (the Python parser then produces the result or the user-facing error).
     """
+    # Check the escape hatch BEFORE _load(): opting out must also skip the
+    # on-demand g++ compile, not just the parse.
+    if os.environ.get("NR_NO_NATIVE_OBJ") == "1":
+        return None
     lib = _load()
-    if lib is None or os.environ.get("NR_NO_NATIVE_OBJ") == "1":
+    if lib is None:
         return None
     pf = ctypes.POINTER(ctypes.c_float)
     pos = pf()

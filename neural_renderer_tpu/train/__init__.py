@@ -10,4 +10,5 @@ from .trainer import (
     make_train_step_on_batch,
     restore_checkpoint,
     save_checkpoint,
+    segment_domain,
 )

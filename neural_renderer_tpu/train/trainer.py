@@ -46,6 +46,21 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def segment_domain(scene):
+    """The shell network's sampling domain for a scene: (outer_shell_min,
+    outer_shell_inv_extent) as f32 device arrays + the segment-sampling
+    sphere radius (1.5x the outer-shell diagonal). ONE home for this
+    convention — the train CLI and the viewer's train-while-render must
+    optimize against the same domain."""
+    omin, omax = scene.outer_shell.bounds()
+    extent = omax - omin
+    inv_extent = np.where(extent != 0,
+                          1.0 / np.where(extent == 0, 1, extent), 0.0)
+    radius = 1.5 * float(np.linalg.norm(omax - omin))
+    return (jnp.asarray(omin, jnp.float32),
+            jnp.asarray(inv_extent, jnp.float32), radius)
+
+
 def make_optimizer(cfg: TrainConfig):
     if cfg.lr_schedule == "cosine":
         lr = optax.cosine_decay_schedule(

@@ -168,6 +168,27 @@ def test_rejects_unsupported(tmp_path):
         read_exr(p)
 
 
+def test_corrupt_files_raise_exr_error(tmp_path):
+    """Truncation / garbage anywhere must surface as ExrError (so callers'
+    fallbacks fire), never a raw ValueError/struct.error or a hang."""
+    img = np.zeros((4, 4, 3), np.float32)
+    p = str(tmp_path / "bad.exr")
+    write_exr(p, img, ptype=2, comp=3)
+    data = open(p, "rb").read()
+    for cut in (40, 12, len(data) - 5):
+        open(p, "wb").write(data[:cut])
+        with pytest.raises(ExrError):
+            read_exr(p)
+    # Negative attribute size must not walk the header backwards (hang).
+    raw = bytearray(data)
+    i = raw.index(b"dataWindow\0box2i\0")
+    raw[i + len(b"dataWindow\0box2i\0"):i + len(b"dataWindow\0box2i\0") + 4] = \
+        (-8).to_bytes(4, "little", signed=True)
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ExrError):
+        read_exr(p)
+
+
 def test_envmap_dispatch(tmp_path):
     from neural_renderer_tpu.scene.envmap import EnvironmentMap
     img = (np.random.default_rng(0).random((8, 16, 3)) * 3).astype(np.float32)

@@ -77,6 +77,9 @@ def test_native_matches_python(tmp_path, name):
     "v 0 0\nf 1 1 1\n",                       # short v line -> ValueError-ish
     "v 0 0 0\nf 1 2 3\n",                     # out-of-range -> IndexError
     "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 x\n",   # int('x') -> ValueError
+    "v 0 0 0\nv 1 0 0\nv 0 1 3x\nf 1 2 3\n",  # float('3x') -> ValueError
+    "v 0x1 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n",  # hex: float('0x1') raises
+    "v 0 0 0\nv 1 0 0\nv 0 1 0\nvt .5 9y\nf 1/1 2/1 3/1\n",  # float('9y')
 ])
 def test_native_declines_what_python_raises(tmp_path, bad):
     if not _native_available(tmp_path):
