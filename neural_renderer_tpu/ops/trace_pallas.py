@@ -102,7 +102,7 @@ def _kernel(o_ref, d_ref, tri_ref, out_ref, *, mode: int, num_tiles: int):
 
 
 def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
-                  num_tiles: int, with_fwd2: bool):
+                  num_tiles: int, with_fwd2: bool, mxu: bool = False):
     """Dual-mesh dual-facing sweep: tris_packed = [outer | inner] (each padded
     to TRI_TILE). Emits per-ray nearest FORWARD and BACKWARD hit t for each
     mesh in one pass, plus the SECOND-nearest outer forward t — out rows =
@@ -122,9 +122,32 @@ def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
     dy = d_ref[1, :][:, None]
     dz = d_ref[2, :][:, None]
 
+    if mxu:
+        from .trace_mxu import pair_eval_raw, ray_features
+        F = ray_features(o_ref[:, :], d_ref[:, :])
+
     def tile(c, state):
         of, ob, inf_, inb, of2 = state
         tb = tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)]
+        if mxu:
+            # Matmul pair math (ops/trace_mxu.py); facing = -det.
+            t, ok, det = pair_eval_raw(F, tb)
+            valid = ok & (t > MIN_T)
+            tf = jnp.where(valid & (det > 0.0), t, 1e30)
+            t_fwd = jnp.min(tf, axis=1)
+            t_bwd = jnp.min(jnp.where(valid & (det < 0.0), t, 1e30), axis=1)
+            is_outer = c < num_outer_tiles
+            if with_fwd2:
+                t_fwd2 = jnp.min(jnp.where(tf > t_fwd[:, None], tf, 1e30),
+                                 axis=1)
+                new_of2 = jnp.minimum(jnp.maximum(of, t_fwd),
+                                      jnp.minimum(of2, t_fwd2))
+                of2 = jnp.where(is_outer, new_of2, of2)
+            of = jnp.where(is_outer, jnp.minimum(of, t_fwd), of)
+            ob = jnp.where(is_outer, jnp.minimum(ob, t_bwd), ob)
+            inf_ = jnp.where(is_outer, inf_, jnp.minimum(inf_, t_fwd))
+            inb = jnp.where(is_outer, inb, jnp.minimum(inb, t_bwd))
+            return of, ob, inf_, inb, of2
         v0x = tb[0, :][None, :]
         v0y = tb[1, :][None, :]
         v0z = tb[2, :][None, :]
@@ -208,10 +231,12 @@ def sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
     t_total = tris_packed.shape[1]
     grid = (n // BLOCK_RAYS,)
 
+    import os as _os
     rows = 5 if with_fwd2 else 4
     return pl.pallas_call(
         functools.partial(_sweep_kernel, num_outer_tiles=num_outer_tiles,
-                          num_tiles=num_tiles, with_fwd2=with_fwd2),
+                          num_tiles=num_tiles, with_fwd2=with_fwd2,
+                          mxu=_os.environ.get("NR_TRACE_MXU") == "1"),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
