@@ -227,6 +227,12 @@ def run_interactive(args):
     except ImportError:
         print("matplotlib unavailable; use --headless", file=sys.stderr)
         return 1
+    if matplotlib.get_backend().lower() == "agg":
+        # No display: plt.show() would no-op and the render loop would spin
+        # with no window to close.
+        print("no GUI backend (matplotlib is on Agg) — use --headless N",
+              file=sys.stderr)
+        return 1
 
     cfg, renderer, controller, current_basis = build_renderer(args)
     from ..config import camera_state_to_matrix

@@ -36,6 +36,10 @@ def enable(cache_dir: str | None = None) -> str | None:
         root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         cache_dir = os.path.join(root, ".jax_cache")
+    # XLA:CPU prints two benign machine-feature-hint warnings per cached
+    # executable load; silence them unless the user chose a log level
+    # (must be set before XLA's native libs initialize).
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     try:
         import jax
         os.makedirs(cache_dir, exist_ok=True)
