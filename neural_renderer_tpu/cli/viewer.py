@@ -18,9 +18,9 @@ Runtime controls (interactive) — every reference ImGui control
   (original/inner/outer), r/shift+r envmap rotation -/+15deg,
   v/shift+v env strength x0.8/x1.25, g direct-env-color toggle,
   f/shift+f FOV -/+0.05 rad, t per-kernel timing table (ns/ray + Mrays),
-  i mesh/BVH/network memory stats, c print camera matrix JSON,
-  o save PNG, u pause/resume live training (with --train-steps), h help,
-  esc quit
+  i mesh/BVH/network memory stats, c print camera matrix JSON
+  (shift+c exports camera_export.json), o save PNG,
+  u pause/resume live training (with --train-steps), h help, esc quit
 
 Train-while-render (--train-steps N): the online-training mode SURVEY.md §7
 step 9 plans and the reference's inference-only runtime lacks — N optimizer
@@ -273,12 +273,20 @@ def run_interactive(args):
             renderer.set_samples_per_pixel(max(1, renderer.samples_per_pixel - 1))
         elif k == "shift+p":
             renderer.set_samples_per_pixel(renderer.samples_per_pixel + 1)
-        elif k == "c":
+        elif k in ("c", "shift+c"):
             m = camera_state_to_matrix(controller.camera.position,
                                        controller.camera.yaw,
                                        controller.camera.pitch)
-            print(json.dumps({"matrix": [float(v) for v in m],
-                              "yfov": controller.camera.fov_y}))
+            blob = json.dumps({"matrix": [float(v) for v in m],
+                               "yfov": controller.camera.fov_y})
+            if k == "shift+c":
+                # File export, like the reference's NFD save dialog
+                # (viewer.cu camera export-JSON).
+                with open("camera_export.json", "w") as f:
+                    f.write(blob)
+                print("saved camera_export.json")
+            else:
+                print(blob)
         elif k == "o":
             save_png("viewer_capture.png", renderer.device_pixels())
         elif k == "m":
