@@ -33,6 +33,11 @@ def main(argv=None) -> int:
                         help="data-parallel devices: shard pixel stripes "
                              "over the first N jax devices (height must be "
                              "divisible by N)")
+    parser.add_argument("--profile", action="store_true",
+                        help="print the per-kernel timing table (ns/ray + "
+                             "Mrays, the PROFILE_KERNELS categories) after "
+                             "each pass — re-runs stages separately, so it "
+                             "adds compile + measurement time")
     args = parser.parse_args(argv)
 
     print("=== Comparison Renderer ===")
@@ -104,11 +109,32 @@ def main(argv=None) -> int:
             bar.update(it)
         return img
 
+    def profile_pass(neural: bool):
+        if not args.profile:
+            return
+        from ..render.neural_march import NeuralContext
+        from ..render.profiler import profile_gt_frame, profile_neural_frame
+        params = renderer._build_params(pos)
+        env = renderer._env_arrays()
+        if neural and scene.outer_shell.num_triangles:
+            ctx = NeuralContext(outer=renderer._mesh_arrays("outer_shell"),
+                                inner=renderer._mesh_arrays("inner_shell"),
+                                net_params=renderer.net_params,
+                                config=renderer.net_config)
+            t = profile_neural_frame(ctx,
+                                     renderer._mesh_arrays("additional_mesh"),
+                                     env, params)
+        else:
+            t = profile_gt_frame(renderer._classic_mesh(), env, params)
+        print(t.table())
+
     gt = render_pass("Ground truth", neural=False)
     save_png(os.path.join(args.output, "ground_truth.png"), gt)
+    profile_pass(neural=False)
 
     neural = render_pass("Neural", neural=True)
     save_png(os.path.join(args.output, "neural.png"), neural)
+    profile_pass(neural=True)
 
     psnr = compute_psnr(gt, neural)
     print("\n=== Metrics ===")

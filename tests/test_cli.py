@@ -95,6 +95,21 @@ def test_evaluate_cli_tiny(tmp_path, capsys):
         assert os.path.exists(os.path.join(out_dir, name)), name
 
 
+def test_evaluate_profile_flag(tmp_path, capsys):
+    """--profile prints the per-kernel table (PROFILE_KERNELS categories)
+    after each pass."""
+    from neural_renderer_tpu.cli.evaluate import main as evaluate_main
+    cfg_path = _write_scene(tmp_path, use_neural=True, total_samples=2)
+    rc = evaluate_main([str(cfg_path), "--width", "24", "--height", "16",
+                        "--output", str(tmp_path / "out"), "--batch-spp", "2",
+                        "--total-samples", "2", "--profile"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("ns/ray") == 2        # one table per pass
+    assert out.count("frame total") == 2
+    assert "avg neural calls/ray" in out   # the neural pass's table
+
+
 def test_viewer_headless_tiny(tmp_path, capsys):
     from neural_renderer_tpu.cli.viewer import main as viewer_main
     cfg_path = _write_scene(tmp_path)
