@@ -33,6 +33,9 @@ def main(argv=None) -> int:
                         help="data-parallel devices: shard pixel stripes "
                              "over the first N jax devices (height must be "
                              "divisible by N)")
+    parser.add_argument("--ckpt", default="",
+                        help="weights to load (flat FP16 blob or orbax dir), "
+                             "overriding the config's checkpoint_path")
     parser.add_argument("--profile", action="store_true",
                         help="print the per-kernel timing table (ns/ray + "
                              "Mrays, the PROFILE_KERNELS categories) after "
@@ -79,11 +82,12 @@ def main(argv=None) -> int:
     renderer.set_lambert_view(False)
     renderer.set_envmap_rotation(cfg.environment.rotation)
 
-    if cfg.checkpoint_path:
-        if renderer.load_weights_from_file(cfg.checkpoint_path):
-            print(f"Loaded checkpoint: {cfg.checkpoint_path}")
+    ckpt = args.ckpt or cfg.checkpoint_path
+    if ckpt:
+        if renderer.load_weights_from_file(ckpt):
+            print(f"Loaded checkpoint: {ckpt}")
         else:
-            print(f"Failed to load checkpoint: {cfg.checkpoint_path}", file=sys.stderr)
+            print(f"Failed to load checkpoint: {ckpt}", file=sys.stderr)
             return 1
 
     fwd, right, up, fov = camera_basis_from_state(yaw, pitch, cfg.camera.yfov)

@@ -72,9 +72,10 @@ def build_renderer(args):
     renderer.set_envmap_rotation(cfg.environment.rotation)
     renderer.set_constant_neural_color(cfg.material.use_constant_neural_color,
                                        cfg.material.constant_neural_color)
-    if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
-        if renderer.load_weights_from_file(cfg.checkpoint_path):
-            print(f"Loaded checkpoint: {cfg.checkpoint_path}")
+    ckpt = getattr(args, "ckpt", "") or cfg.checkpoint_path
+    if ckpt and os.path.exists(ckpt):
+        if renderer.load_weights_from_file(ckpt):
+            print(f"Loaded checkpoint: {ckpt}")
 
     pos, yaw, pitch = matrix_to_camera_state(cfg.camera.matrix)
     pos = pos * cfg.original_mesh.scale
@@ -377,6 +378,9 @@ def main(argv=None) -> int:
                         help="save an orbax train-state checkpoint on exit")
     parser.add_argument("--train-resume", default="",
                         help="orbax train-state checkpoint to resume")
+    parser.add_argument("--ckpt", default="",
+                        help="weights to load (flat FP16 blob or orbax dir), "
+                             "overriding the config's checkpoint_path")
     args = parser.parse_args(argv)
 
     if args.headless > 0:
