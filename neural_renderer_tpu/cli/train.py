@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--lr-schedule", default="constant",
                         choices=["constant", "cosine"])
+    parser.add_argument("--segments-per-ray", type=int, default=1,
+                        help="march sampled rays N segments deep and train "
+                             "on all of them (needed for non-convex shells, "
+                             "e.g. configs/knot)")
     parser.add_argument("--log-every", type=int, default=100)
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel devices (segment batch sharded)")
@@ -67,7 +71,8 @@ def main(argv=None) -> int:
     tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                        steps=args.steps, seed=args.seed,
                        log_every=args.log_every,
-                       lr_schedule=args.lr_schedule)
+                       lr_schedule=args.lr_schedule,
+                       segments_per_ray=args.segments_per_ray)
 
     gt = scene.original_mesh.to_arrays()
     outer = scene.outer_shell.to_arrays()

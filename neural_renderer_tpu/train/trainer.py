@@ -38,6 +38,10 @@ class TrainConfig:
     # `steps`; instant-ngp-style runs converge noticeably better with decay).
     lr_schedule: str = "constant"
     lr_end_factor: float = 0.05
+    # March each sampled ray this many segments deep (re-entries) and train
+    # on ALL of them — required coverage for non-convex shells (knot scene),
+    # where strand-facing segments are never first crossings.
+    segments_per_ray: int = 1
 
 
 class TrainState(NamedTuple):
@@ -96,7 +100,8 @@ def make_train_step(cfg: TrainConfig, net_config: nbvh.NbvhConfig,
 
     def step(state: TrainState, key) -> tuple[TrainState, dict]:
         batch = sample_segment_batch(key, gt_mesh, outer, inner, outer_min,
-                                     outer_inv_extent, cfg.batch_size, radius)
+                                     outer_inv_extent, cfg.batch_size, radius,
+                                     segments_per_ray=cfg.segments_per_ray)
         if mesh is not None:
             from ..parallel.shardings import constrain_batch_dp
             batch = constrain_batch_dp(batch, mesh, dp_axis)

@@ -52,6 +52,47 @@ def test_segment_batch_supervision():
     assert dots.mean() > 0.95
 
 
+def test_multisegment_sampling():
+    """segments_per_ray marches sampled rays through re-entries: later
+    blocks carry live rows for non-convex shells (knot) and are all-invalid
+    for convex ones (sphere — no re-entry exists)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from test_knot_scene import knot_mesh
+
+    b, s = 768, 3
+    # Convex sphere: block 1 valid like before, blocks 2..s dead.
+    gt, outer, inner, omin, inv = _shell_setup()
+    batch = jax.jit(lambda k: sample_segment_batch(
+        k, gt, outer, inner, omin, inv, b, radius=3.0,
+        segments_per_ray=s))(jax.random.PRNGKey(0))
+    assert batch.valid.shape == (b,) and batch.inputs.shape == (12, b)
+    rays = b // s
+    valid = np.asarray(batch.valid)
+    assert valid[:rays].mean() > 0.5
+    assert not valid[rays:].any()
+
+    # Knot: strand re-entries make later blocks live, with real GT hits.
+    gt_k = knot_mesh(96, 0.35, 12).to_arrays()
+    inner_k = knot_mesh(96, 0.22, 12).to_arrays()
+    outer_k = knot_mesh(96, 0.50, 12).to_arrays()
+    omin_k = jnp.asarray(np.asarray(outer_k.bvh_bounds_min[:, 0]))
+    omax_k = np.asarray(outer_k.bvh_bounds_max[:, 0])
+    inv_k = jnp.asarray(1.0 / (omax_k - np.asarray(omin_k)))
+    bk = jax.jit(lambda k: sample_segment_batch(
+        k, gt_k, outer_k, inner_k, omin_k, inv_k, b, radius=6.0,
+        segments_per_ray=s))(jax.random.PRNGKey(1))
+    vk = np.asarray(bk.valid)
+    pk = np.asarray(bk.presence)
+    assert vk[rays:2 * rays].mean() > 0.05      # second segments exist
+    assert pk[rays:][vk[rays:]].mean() > 0.05   # ...and some contain GT hits
+    # Later-segment inputs stay in the normalized [0,1]-ish domain.
+    inp = np.asarray(bk.inputs)[:, rays:][:, vk[rays:]]
+    assert inp.min() > -0.05 and inp.max() < 1.05
+
+
 def test_bce_matches_reference_formula():
     logits = jnp.asarray([-3.0, -0.5, 0.0, 0.5, 3.0])
     targets = jnp.asarray([0.0, 1.0, 1.0, 0.0, 1.0])
