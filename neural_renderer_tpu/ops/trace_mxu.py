@@ -133,12 +133,14 @@ def _mxu_kernel(o_ref, d_ref, tri_ref, out_ref, *, mode: int,
     out_ref[1, :] = jax.lax.bitcast_convert_type(best_tri, jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "num_tiles"))
+@functools.partial(jax.jit, static_argnames=("mode", "num_tiles",
+                                              "interpret"))
 def trace_dense_mxu_pallas(origins, dirs, tris_packed, mode: int,
-                           num_tiles: int):
+                           num_tiles: int, interpret: bool = False):
     """Drop-in for trace_pallas.trace_dense_pallas (same contract):
     origins/dirs [3, Npad], tris_packed [9, num_tiles*TRI_TILE] ->
-    (best_t [Npad], best_tri [Npad])."""
+    (best_t [Npad], best_tri [Npad]). `interpret` runs the kernel body in
+    Pallas interpret mode — the CPU validation path for kernel logic."""
     n = origins.shape[1]
     t_total = tris_packed.shape[1]
     grid = (n // BLOCK_RAYS,)
@@ -146,6 +148,7 @@ def trace_dense_mxu_pallas(origins, dirs, tris_packed, mode: int,
     out = pl.pallas_call(
         functools.partial(_mxu_kernel, mode=mode, num_tiles=num_tiles),
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
                          memory_space=pltpu.VMEM),

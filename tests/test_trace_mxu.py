@@ -4,6 +4,7 @@ _mt_from_packed math) — exact identities in f64, ~1-ulp agreement in the
 f32 XLA twin, and hit-for-hit agreement on real meshes in all TraceModes."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -102,6 +103,167 @@ def test_mxu_dual_facing_split_matches_sweep():
         np.testing.assert_allclose(np.asarray(got)[both],
                                    np.asarray(ref.t)[both],
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_mxu_pallas_kernel_interpret_matches_twin():
+    """The Pallas kernel body (grid indexing, tile loop, argmin tie-break,
+    output bitcast packing) run in interpret mode must agree with the XLA
+    twin — the kernel's only CPU-executable validation before TPU time."""
+    from neural_renderer_tpu.ops.trace_mxu import trace_dense_mxu_pallas
+    from neural_renderer_tpu.ops.trace_pallas import BLOCK_RAYS, TRI_TILE
+    mesh = outward_sphere(8, 16, 1.0).to_arrays()
+    tp = mesh.tris_packed
+    t_pad = -(-tp.shape[1] // TRI_TILE) * TRI_TILE
+    tp = jnp.pad(tp, ((0, 0), (0, t_pad - tp.shape[1])))
+    o, d = _rays(BLOCK_RAYS * 2, seed=5)
+    for mode in (traversal.ANY, traversal.FORWARD_ONLY):
+        bt_k, id_k = trace_dense_mxu_pallas(o, d, tp, mode,
+                                            t_pad // TRI_TILE,
+                                            interpret=True)
+        bt_x, id_x = trace_dense_mxu_xla(o, d, tp, mode)
+        hit_k = np.asarray(bt_k) < 1e30
+        hit_x = np.asarray(bt_x) < 1e30
+        # Same formulation, possibly different dot lowering: allow only
+        # boundary-ulp drift.
+        assert (hit_k != hit_x).mean() < 2e-3, mode
+        both = hit_k & hit_x
+        assert both.sum() > 200
+        np.testing.assert_allclose(np.asarray(bt_k)[both],
+                                   np.asarray(bt_x)[both],
+                                   rtol=1e-6, atol=1e-6)
+        assert (np.asarray(id_k)[both]
+                == np.asarray(id_x)[both]).mean() > 0.999
+
+
+def _interpret_pallas(monkeypatch, module):
+    orig = module.pl.pallas_call
+    monkeypatch.setattr(
+        module.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+
+@pytest.mark.parametrize("mxu", [False, True])
+def test_streaming_sweep_kernel_interpret(mxu, monkeypatch):
+    """The streaming cluster sweep kernel (DMA worklists + in-kernel
+    while_loop), VPU and MXU branches, run under Pallas interpret mode
+    against the dense t-only oracle — the kernels' only CPU-executable
+    validation before TPU time."""
+    from neural_renderer_tpu.ops import trace_cluster as tc
+    _interpret_pallas(monkeypatch, tc)
+    monkeypatch.setenv("NR_TRACE_MXU", "1" if mxu else "0")
+
+    outer = outward_sphere(24, 48, 1.2).to_arrays()
+    inner = outward_sphere(24, 48, 0.8).to_arrays()
+    o, d = _rays(1024, seed=11)
+
+    co = outer.cluster_bounds.shape[1]
+    ci = inner.cluster_bounds.shape[1]
+    cb = jnp.concatenate([outer.cluster_bounds, inner.cluster_bounds], axis=1)
+
+    def padtp(m, c):
+        tp = m.tris_packed
+        want = c * tc.CLUSTER_SIZE
+        return (jnp.pad(tp, ((0, 0), (0, want - tp.shape[1])))
+                if tp.shape[1] != want else tp)
+
+    tp_cl = jnp.concatenate([padtp(outer, co), padtp(inner, ci)], axis=1)
+    mask = tc._block_cluster_mask(o, d, cb, None)
+    ids, _, counts, _ = tc._stream_worklist(
+        mask, jnp.where(mask, 0.0, jnp.inf), tc.STREAM_K)
+    # __wrapped__: bypass the jit cache, which would otherwise pin the
+    # first-seen NR_TRACE_MXU value for both parametrizations.
+    out = tc.sweep_clusters_stream.__wrapped__(o, d, tp_cl, ids, counts, co,
+                                               with_fwd2=True)
+
+    of, of2 = traversal._dense_t_only(outer, o, d, traversal.FORWARD_ONLY,
+                                      two_min=True)
+    refs = [of,
+            traversal._dense_t_only(outer, o, d, traversal.BACKWARD_ONLY),
+            traversal._dense_t_only(inner, o, d, traversal.FORWARD_ONLY),
+            traversal._dense_t_only(inner, o, d, traversal.BACKWARD_ONLY),
+            of2]
+    for row, ref in enumerate(refs):
+        got = np.asarray(out[row])
+        want = np.asarray(ref)
+        hg, hw = got < 1e30, want < 1e30
+        assert (hg != hw).mean() < 2e-3, row
+        both = hg & hw
+        np.testing.assert_allclose(got[both], want[both],
+                                   rtol=1e-5, atol=1e-6, err_msg=f"row {row}")
+
+
+@pytest.mark.parametrize("mxu", [False, True])
+def test_streaming_trace_kernel_interpret(mxu, monkeypatch):
+    """Closest-hit streaming cluster trace (front-to-back early-out +
+    whole-mesh-exit cap) under interpret mode vs the brute oracle."""
+    from neural_renderer_tpu.ops import trace_cluster as tc
+    _interpret_pallas(monkeypatch, tc)
+    monkeypatch.setenv("NR_TRACE_MXU", "1" if mxu else "0")
+
+    mesh = outward_sphere(24, 48, 1.0).to_arrays()
+    o, d = _rays(1024, seed=13)
+    c = mesh.cluster_bounds.shape[1]
+    want_cols = c * tc.CLUSTER_SIZE
+    tp = mesh.tris_packed
+    if tp.shape[1] != want_cols:
+        tp = jnp.pad(tp, ((0, 0), (0, want_cols - tp.shape[1])))
+    mask, btmin = tc._block_cluster_mask(o, d, mesh.cluster_bounds, None,
+                                         with_tmin=True)
+    ids, tmins, counts, _ = tc._stream_worklist(mask, btmin, tc.STREAM_K)
+    exit_t = tc.mesh_exit_t(o, d, mesh.cluster_bounds, None)
+    bt, tri = tc.trace_clusters_stream.__wrapped__(
+        o, d, tp, ids, tmins, counts, exit_t, 0)
+
+    ref = traversal.trace_mesh_brute(mesh, o, d, traversal.ANY)
+    hit = np.asarray(bt) < 1e30
+    want = np.asarray(ref.hit)
+    assert (hit != want).mean() < 2e-3
+    both = hit & want
+    assert both.sum() > 300
+    np.testing.assert_allclose(np.asarray(bt)[both], np.asarray(ref.t)[both],
+                               rtol=1e-5, atol=1e-6)
+    assert (np.asarray(tri)[both] == np.asarray(ref.tri)[both]).mean() > 0.99
+
+
+@pytest.mark.parametrize("mxu", [False, True])
+def test_dense_sweep_kernel_interpret(mxu, monkeypatch):
+    """Dense dual-shell sweep kernel (small-shell path), VPU and MXU
+    branches, under interpret mode vs the dense t-only oracle."""
+    from neural_renderer_tpu.ops import trace_pallas as tp_mod
+    _interpret_pallas(monkeypatch, tp_mod)
+    monkeypatch.setenv("NR_TRACE_MXU", "1" if mxu else "0")
+
+    outer = outward_sphere(10, 20, 1.2).to_arrays()
+    inner = outward_sphere(10, 20, 0.8).to_arrays()
+    o, d = _rays(512, seed=17)
+
+    def pad_tiles(m):
+        tp = m.tris_packed
+        pad = -(-tp.shape[1] // tp_mod.TRI_TILE) * tp_mod.TRI_TILE
+        return (jnp.pad(tp, ((0, 0), (0, pad - tp.shape[1]))),
+                pad // tp_mod.TRI_TILE)
+
+    tpo, to = pad_tiles(outer)
+    tpi, ti = pad_tiles(inner)
+    out = tp_mod.sweep_shells_pallas.__wrapped__(
+        o, d, jnp.concatenate([tpo, tpi], axis=1), to, to + ti,
+        with_fwd2=True)
+
+    of, of2 = traversal._dense_t_only(outer, o, d, traversal.FORWARD_ONLY,
+                                      two_min=True)
+    refs = [of,
+            traversal._dense_t_only(outer, o, d, traversal.BACKWARD_ONLY),
+            traversal._dense_t_only(inner, o, d, traversal.FORWARD_ONLY),
+            traversal._dense_t_only(inner, o, d, traversal.BACKWARD_ONLY),
+            of2]
+    for row, ref in enumerate(refs):
+        got = np.asarray(out[row])
+        want = np.asarray(ref)
+        hg, hw = got < 1e30, want < 1e30
+        assert (hg != hw).mean() < 2e-3, row
+        both = hg & hw
+        np.testing.assert_allclose(got[both], want[both],
+                                   rtol=1e-5, atol=1e-6, err_msg=f"row {row}")
 
 
 def test_padding_triangles_never_hit():
