@@ -266,6 +266,36 @@ def test_dense_sweep_kernel_interpret(mxu, monkeypatch):
                                    rtol=1e-5, atol=1e-6, err_msg=f"row {row}")
 
 
+@pytest.mark.parametrize("mxu", [False, True])
+def test_two_level_dispatch_interpret(mxu, monkeypatch):
+    """The whole TPU trace path — octant/morton sort, cluster shortlists,
+    streaming kernel, unsort, overflow fallback wiring — executed end to end
+    under interpret mode (normally unreachable on CPU behind
+    platform_dependent), vs the brute oracle, in both pair-math branches."""
+    from neural_renderer_tpu.ops import trace_cluster as tc
+    _interpret_pallas(monkeypatch, tc)
+    monkeypatch.setenv("NR_TRACE_MXU", "1" if mxu else "0")
+    # Bypass the jit cache (it would pin the first parametrization's env).
+    monkeypatch.setattr(tc, "trace_clusters_stream",
+                        tc.trace_clusters_stream.__wrapped__)
+
+    mesh = outward_sphere(48, 96, 1.0).to_arrays()  # 9216 tris, 36 clusters
+    o, d = _rays(2048, seed=19)
+    for mode in (traversal.ANY, traversal.FORWARD_ONLY):
+        got = traversal._trace_two_level(mesh, o, d, mode, None)
+        ref = traversal.trace_mesh_brute(mesh, o, d, mode)
+        hit = np.asarray(got.hit)
+        want = np.asarray(ref.hit)
+        assert (hit != want).mean() < 2e-3, mode
+        both = hit & want
+        assert both.sum() > 600
+        np.testing.assert_allclose(np.asarray(got.t)[both],
+                                   np.asarray(ref.t)[both],
+                                   rtol=1e-5, atol=1e-6)
+        assert (np.asarray(got.tri)[both]
+                == np.asarray(ref.tri)[both]).mean() > 0.99
+
+
 def test_padding_triangles_never_hit():
     mesh = outward_sphere(6, 12, 1.0).to_arrays()
     o, d = _rays(256, seed=3)
