@@ -116,21 +116,8 @@ def main(argv=None) -> int:
     def profile_pass(neural: bool):
         if not args.profile:
             return
-        from ..render.neural_march import NeuralContext
-        from ..render.profiler import profile_gt_frame, profile_neural_frame
-        params = renderer._build_params(pos)
-        env = renderer._env_arrays()
-        if neural and scene.outer_shell.num_triangles:
-            ctx = NeuralContext(outer=renderer._mesh_arrays("outer_shell"),
-                                inner=renderer._mesh_arrays("inner_shell"),
-                                net_params=renderer.net_params,
-                                config=renderer.net_config)
-            t = profile_neural_frame(ctx,
-                                     renderer._mesh_arrays("additional_mesh"),
-                                     env, params)
-        else:
-            t = profile_gt_frame(renderer._classic_mesh(), env, params)
-        print(t.table())
+        from ..render.profiler import profile_renderer
+        print(profile_renderer(renderer, pos, neural).table())
 
     gt = render_pass("Ground truth", neural=False)
     save_png(os.path.join(args.output, "ground_truth.png"), gt)

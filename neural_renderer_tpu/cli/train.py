@@ -17,8 +17,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 
 def main(argv=None) -> int:
     from ..utils.compile_cache import enable as _enable_cache
@@ -47,7 +45,6 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from ..config import load_config
     from ..models import nbvh

@@ -73,9 +73,15 @@ def build_renderer(args):
     renderer.set_constant_neural_color(cfg.material.use_constant_neural_color,
                                        cfg.material.constant_neural_color)
     ckpt = getattr(args, "ckpt", "") or cfg.checkpoint_path
-    if ckpt and os.path.exists(ckpt):
-        if renderer.load_weights_from_file(ckpt):
+    if ckpt:
+        if not os.path.exists(ckpt):
+            print(f"Checkpoint not found: {ckpt}", file=sys.stderr)
+            if getattr(args, "ckpt", ""):
+                raise SystemExit(1)  # explicit --ckpt must not be ignored
+        elif renderer.load_weights_from_file(ckpt):
             print(f"Loaded checkpoint: {ckpt}")
+        elif getattr(args, "ckpt", ""):
+            raise SystemExit(1)
 
     pos, yaw, pitch = matrix_to_camera_state(cfg.camera.matrix)
     pos = pos * cfg.original_mesh.scale
@@ -167,8 +173,10 @@ def make_live_trainer(args, cfg, scene, renderer):
         print("train-while-render needs an original mesh and outer shell; "
               "training disabled", file=sys.stderr)
         return None
-    warm = bool(cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path)
-                and not args.train_resume)
+    # Warm-start whenever weights were actually loaded into the renderer
+    # (config checkpoint OR --ckpt override — the weights version counts
+    # loads), unless an explicit train state is being resumed.
+    warm = renderer._weights_version > 0 and not args.train_resume
     trainer = LiveTrainer(scene, renderer, args.train_steps,
                           batch_size=args.train_batch, lr=args.train_lr,
                           resume=args.train_resume, warm_start=warm)
@@ -205,20 +213,9 @@ def run_headless(args):
 def profile_table(renderer, controller):
     """Per-kernel timing table (the PROFILE_KERNELS ImGui table,
     viewer.cu:520-590) for the current camera/settings."""
-    from ..render.profiler import profile_gt_frame, profile_neural_frame
-    from ..render.neural_march import NeuralContext
-    params = renderer._build_params(controller.camera.position)
-    env = renderer._env_arrays()
-    if renderer.use_neural_query and renderer.scene.outer_shell.num_triangles:
-        ctx = NeuralContext(outer=renderer._mesh_arrays("outer_shell"),
-                            inner=renderer._mesh_arrays("inner_shell"),
-                            net_params=renderer.net_params,
-                            config=renderer.net_config)
-        t = profile_neural_frame(ctx, renderer._mesh_arrays("additional_mesh"),
-                                 env, params)
-    else:
-        t = profile_gt_frame(renderer._classic_mesh(), env, params)
-    return t.table()
+    from ..render.profiler import profile_renderer
+    return profile_renderer(renderer, controller.camera.position,
+                            renderer.use_neural_query).table()
 
 
 def run_interactive(args):
@@ -228,11 +225,14 @@ def run_interactive(args):
     except ImportError:
         print("matplotlib unavailable; use --headless", file=sys.stderr)
         return 1
-    if matplotlib.get_backend().lower() == "agg":
-        # No display: plt.show() would no-op and the render loop would spin
-        # with no window to close.
-        print("no GUI backend (matplotlib is on Agg) — use --headless N",
-              file=sys.stderr)
+    backend = matplotlib.get_backend().lower()
+    # GUI backends are e.g. qtagg/tkagg/gtk4agg/macosx — plain file-output
+    # backends can't open a window, so plt.show() would no-op and the
+    # render loop would spin with nothing to close.
+    if backend in ("agg", "pdf", "svg", "svgz", "ps", "eps", "cairo",
+                   "template", "pgf") or "inline" in backend:
+        print(f"no GUI backend (matplotlib is on {backend}) — "
+              "use --headless N", file=sys.stderr)
         return 1
 
     cfg, renderer, controller, current_basis = build_renderer(args)

@@ -356,14 +356,23 @@ def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_ref, o_ref, d_ref,
 RESIDENT_MAX_TRIS = 131072
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
 def trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
-                          exit_t, mode: int):
+                          exit_t, mode: int, mxu: bool | None = None):
     """origins/dirs [3, Npad]; tris_packed [9, C*CLUSTER_SIZE] (HBM or VMEM
     by size); ids/tmins [NB*K] + counts [NB] from `_stream_worklist`; exit_t
     [Npad] per-ray whole-mesh-AABB exit t (0 for rays that miss the bbox or
     are inactive). Returns (best_t [Npad], best_tri [Npad]); rays in blocks
-    with count 0 correctly report miss (out is initialized per block)."""
+    with count 0 correctly report miss (out is initialized per block).
+    mxu=None reads NR_TRACE_MXU outside the jit (see sweep_shells_pallas)."""
+    if mxu is None:
+        mxu = os.environ.get("NR_TRACE_MXU") == "1"
+    return _trace_clusters_stream(origins, dirs, tris_packed, ids, tmins,
+                                  counts, exit_t, mode, mxu)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "mxu"))
+def _trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
+                           exit_t, mode: int, mxu: bool):
     n = origins.shape[1]
     nb = n // BLOCK_RAYS
     k = ids.shape[0] // nb
@@ -380,10 +389,6 @@ def trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
 
     def ray_map(i, counts_ref):
         return (0, i)
-
-    # Opt-in MXU pair math (BASELINE.md lever 6). Read at trace time: a
-    # process-level switch for bench A/Bs, not a per-call toggle.
-    mxu = os.environ.get("NR_TRACE_MXU") == "1"
 
     out = pl.pallas_call(
         functools.partial(_stream_kernel, mode=mode, resident=resident,
@@ -582,14 +587,25 @@ def _sweep_stream_kernel(counts_ref, ids_hbm, tris_ref, o_ref, d_ref,
     jax.lax.fori_loop(0, cnt, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("outer_clusters", "with_fwd2"))
 def sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,
-                          outer_clusters: int, with_fwd2: bool = False):
+                          outer_clusters: int, with_fwd2: bool = False,
+                          mxu: bool | None = None):
     """origins/dirs [3, Npad]; tris_packed [9, (Co+Ci)*CLUSTER_SIZE] = outer
     clusters then inner clusters; ids [NB*K]/counts [NB] from
     `_stream_worklist` over the CONCATENATED cluster bounds.
     Returns [5, Npad]: (outer_fwd, outer_bwd, inner_fwd, inner_bwd,
-    outer_fwd2) closest crossing t's, 1e30 on miss."""
+    outer_fwd2) closest crossing t's, 1e30 on miss.
+    mxu=None reads NR_TRACE_MXU outside the jit (see sweep_shells_pallas)."""
+    if mxu is None:
+        mxu = os.environ.get("NR_TRACE_MXU") == "1"
+    return _sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,
+                                  outer_clusters, with_fwd2, mxu)
+
+
+@functools.partial(jax.jit, static_argnames=("outer_clusters", "with_fwd2",
+                                              "mxu"))
+def _sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,
+                           outer_clusters: int, with_fwd2: bool, mxu: bool):
     n = origins.shape[1]
     nb = n // BLOCK_RAYS
     k = ids.shape[0] // nb
@@ -610,8 +626,7 @@ def sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,
     return pl.pallas_call(
         functools.partial(_sweep_stream_kernel,
                           outer_clusters=outer_clusters, resident=resident,
-                          with_fwd2=with_fwd2,
-                          mxu=os.environ.get("NR_TRACE_MXU") == "1"),
+                          with_fwd2=with_fwd2, mxu=mxu),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),

@@ -220,23 +220,37 @@ def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
         out_ref[4, :] = of2
 
 
-@functools.partial(jax.jit, static_argnames=("num_outer_tiles", "num_tiles",
-                                              "with_fwd2"))
 def sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
-                        num_tiles: int, with_fwd2: bool = False):
+                        num_tiles: int, with_fwd2: bool = False,
+                        mxu: bool | None = None):
     """origins/dirs [3, Npad]; tris_packed [9, num_tiles*TRI_TILE] =
     outer tris (num_outer_tiles tiles) then inner tris. Returns [5, Npad]:
-    (outer_fwd_t, outer_bwd_t, inner_fwd_t, inner_bwd_t, outer_fwd2_t)."""
+    (outer_fwd_t, outer_bwd_t, inner_fwd_t, inner_bwd_t, outer_fwd2_t).
+
+    mxu=None reads NR_TRACE_MXU here, outside the jit, so direct callers
+    can flip the env var between calls; a call from inside another jitted
+    program still pins the value at that program's trace time
+    (process-level switch for bench A/Bs)."""
+    import os as _os
+    if mxu is None:
+        mxu = _os.environ.get("NR_TRACE_MXU") == "1"
+    return _sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles,
+                                num_tiles, with_fwd2, mxu)
+
+
+@functools.partial(jax.jit, static_argnames=("num_outer_tiles", "num_tiles",
+                                              "with_fwd2", "mxu"))
+def _sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
+                         num_tiles: int, with_fwd2: bool, mxu: bool):
     n = origins.shape[1]
     t_total = tris_packed.shape[1]
     grid = (n // BLOCK_RAYS,)
 
-    import os as _os
     rows = 5 if with_fwd2 else 4
     return pl.pallas_call(
         functools.partial(_sweep_kernel, num_outer_tiles=num_outer_tiles,
                           num_tiles=num_tiles, with_fwd2=with_fwd2,
-                          mxu=_os.environ.get("NR_TRACE_MXU") == "1"),
+                          mxu=mxu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),

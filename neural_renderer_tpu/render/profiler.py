@@ -115,6 +115,22 @@ def _timed(fn, *args, runs=8):
     return out, ms
 
 
+def profile_renderer(renderer, cam_pos, neural: bool) -> KernelTimings:
+    """Stage-profile a Renderer's current scene/settings — the ONE home for
+    the harness the viewer's 't' binding and `evaluate --profile` share."""
+    from .neural_march import NeuralContext
+    params = renderer._build_params(cam_pos)
+    env = renderer._env_arrays()
+    if neural and renderer.scene.outer_shell.num_triangles:
+        ctx = NeuralContext(outer=renderer._mesh_arrays("outer_shell"),
+                            inner=renderer._mesh_arrays("inner_shell"),
+                            net_params=renderer.net_params,
+                            config=renderer.net_config)
+        return profile_neural_frame(
+            ctx, renderer._mesh_arrays("additional_mesh"), env, params)
+    return profile_gt_frame(renderer._classic_mesh(), env, params)
+
+
 def profile_gt_frame(mesh, env, params, accum=None, runs=2) -> KernelTimings:
     """Per-stage timings for the GT branch."""
     t = KernelTimings()

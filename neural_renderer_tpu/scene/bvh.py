@@ -270,21 +270,13 @@ def _load_native():
     if _NATIVE_TRIED:
         return _NATIVE_LIB
     _NATIVE_TRIED = True
-    path = _lib_path()
-    if not os.path.exists(path):
-        # Compile on demand (g++ is part of the toolchain); numpy fallback
-        # keeps working when no compiler is available.
-        src = os.path.join(os.path.dirname(path), "bvh_builder.cpp")
-        if os.path.exists(src):
-            import subprocess
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src,
-                     "-o", path],
-                    check=True, capture_output=True, timeout=120)
-            except (OSError, subprocess.SubprocessError):
-                return None
-    if not os.path.exists(path):
+    # Compile on demand, recompiling when the source is newer than the
+    # gitignored .so (the numpy fallback keeps working with no compiler).
+    from ..utils.native import ensure_native_lib
+    path = ensure_native_lib(
+        os.path.join(os.path.dirname(_lib_path()), "bvh_builder.cpp"),
+        _lib_path())
+    if path is None:
         return None
     try:
         lib = ctypes.CDLL(path)

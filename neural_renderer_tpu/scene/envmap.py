@@ -44,18 +44,10 @@ def _load_rle_native():
     import ctypes
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    lib_path = os.path.join(root, "csrc", "libhdr_rle.so")
-    if not os.path.exists(lib_path):
-        src = os.path.join(root, "csrc", "hdr_rle.cpp")
-        if os.path.exists(src):
-            import subprocess
-            try:
-                subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-                                src, "-o", lib_path],
-                               check=True, capture_output=True, timeout=120)
-            except (OSError, subprocess.SubprocessError):
-                return None
-    if not os.path.exists(lib_path):
+    from ..utils.native import ensure_native_lib
+    lib_path = ensure_native_lib(os.path.join(root, "csrc", "hdr_rle.cpp"),
+                                 os.path.join(root, "csrc", "libhdr_rle.so"))
+    if lib_path is None:
         return None
     try:
         lib = ctypes.CDLL(lib_path)

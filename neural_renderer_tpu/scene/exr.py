@@ -150,6 +150,10 @@ def _read_exr(path: str) -> np.ndarray:
         y, size = struct.unpack_from("<ii", data, off)
         if y < ymin or y > ymax:
             raise ExrError(f"chunk scanline y={y} outside data window")
+        if size < 0 or off + 8 + size > len(data):
+            # A negative size would turn the slice stop into a negative
+            # index and silently decode garbage.
+            raise ExrError(f"chunk at {off} has bad size {size}")
         raw = data[off + 8:off + 8 + size]
         ny = min(lines_per, ymax - y + 1)
         expect = ny * row_bytes

@@ -31,19 +31,11 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = _lib_path()
-    if not os.path.exists(path):
-        src = os.path.join(os.path.dirname(path), "obj_parser.cpp")
-        if os.path.exists(src):
-            import subprocess
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", src,
-                     "-o", path],
-                    check=True, capture_output=True, timeout=120)
-            except (OSError, subprocess.SubprocessError):
-                return None
-    if not os.path.exists(path):
+    from ..utils.native import ensure_native_lib
+    path = ensure_native_lib(
+        os.path.join(os.path.dirname(_lib_path()), "obj_parser.cpp"),
+        _lib_path(), flags=("-O2",))
+    if path is None:
         return None
     try:
         lib = ctypes.CDLL(path)

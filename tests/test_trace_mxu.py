@@ -150,7 +150,6 @@ def test_streaming_sweep_kernel_interpret(mxu, monkeypatch):
     validation before TPU time."""
     from neural_renderer_tpu.ops import trace_cluster as tc
     _interpret_pallas(monkeypatch, tc)
-    monkeypatch.setenv("NR_TRACE_MXU", "1" if mxu else "0")
 
     outer = outward_sphere(24, 48, 1.2).to_arrays()
     inner = outward_sphere(24, 48, 0.8).to_arrays()
@@ -170,10 +169,8 @@ def test_streaming_sweep_kernel_interpret(mxu, monkeypatch):
     mask = tc._block_cluster_mask(o, d, cb, None)
     ids, _, counts, _ = tc._stream_worklist(
         mask, jnp.where(mask, 0.0, jnp.inf), tc.STREAM_K)
-    # __wrapped__: bypass the jit cache, which would otherwise pin the
-    # first-seen NR_TRACE_MXU value for both parametrizations.
-    out = tc.sweep_clusters_stream.__wrapped__(o, d, tp_cl, ids, counts, co,
-                                               with_fwd2=True)
+    out = tc.sweep_clusters_stream(o, d, tp_cl, ids, counts, co,
+                                   with_fwd2=True, mxu=mxu)
 
     of, of2 = traversal._dense_t_only(outer, o, d, traversal.FORWARD_ONLY,
                                       two_min=True)
@@ -198,7 +195,6 @@ def test_streaming_trace_kernel_interpret(mxu, monkeypatch):
     whole-mesh-exit cap) under interpret mode vs the brute oracle."""
     from neural_renderer_tpu.ops import trace_cluster as tc
     _interpret_pallas(monkeypatch, tc)
-    monkeypatch.setenv("NR_TRACE_MXU", "1" if mxu else "0")
 
     mesh = outward_sphere(24, 48, 1.0).to_arrays()
     o, d = _rays(1024, seed=13)
@@ -211,8 +207,8 @@ def test_streaming_trace_kernel_interpret(mxu, monkeypatch):
                                          with_tmin=True)
     ids, tmins, counts, _ = tc._stream_worklist(mask, btmin, tc.STREAM_K)
     exit_t = tc.mesh_exit_t(o, d, mesh.cluster_bounds, None)
-    bt, tri = tc.trace_clusters_stream.__wrapped__(
-        o, d, tp, ids, tmins, counts, exit_t, 0)
+    bt, tri = tc.trace_clusters_stream(o, d, tp, ids, tmins, counts, exit_t,
+                                       0, mxu=mxu)
 
     ref = traversal.trace_mesh_brute(mesh, o, d, traversal.ANY)
     hit = np.asarray(bt) < 1e30
@@ -231,7 +227,6 @@ def test_dense_sweep_kernel_interpret(mxu, monkeypatch):
     branches, under interpret mode vs the dense t-only oracle."""
     from neural_renderer_tpu.ops import trace_pallas as tp_mod
     _interpret_pallas(monkeypatch, tp_mod)
-    monkeypatch.setenv("NR_TRACE_MXU", "1" if mxu else "0")
 
     outer = outward_sphere(10, 20, 1.2).to_arrays()
     inner = outward_sphere(10, 20, 0.8).to_arrays()
@@ -245,9 +240,9 @@ def test_dense_sweep_kernel_interpret(mxu, monkeypatch):
 
     tpo, to = pad_tiles(outer)
     tpi, ti = pad_tiles(inner)
-    out = tp_mod.sweep_shells_pallas.__wrapped__(
+    out = tp_mod.sweep_shells_pallas(
         o, d, jnp.concatenate([tpo, tpi], axis=1), to, to + ti,
-        with_fwd2=True)
+        with_fwd2=True, mxu=mxu)
 
     of, of2 = traversal._dense_t_only(outer, o, d, traversal.FORWARD_ONLY,
                                       two_min=True)
@@ -274,10 +269,9 @@ def test_two_level_dispatch_interpret(mxu, monkeypatch):
     platform_dependent), vs the brute oracle, in both pair-math branches."""
     from neural_renderer_tpu.ops import trace_cluster as tc
     _interpret_pallas(monkeypatch, tc)
+    # The kernel wrapper resolves NR_TRACE_MXU outside the jit, so an env
+    # flip between parametrizations takes effect per call.
     monkeypatch.setenv("NR_TRACE_MXU", "1" if mxu else "0")
-    # Bypass the jit cache (it would pin the first parametrization's env).
-    monkeypatch.setattr(tc, "trace_clusters_stream",
-                        tc.trace_clusters_stream.__wrapped__)
 
     mesh = outward_sphere(48, 96, 1.0).to_arrays()  # 9216 tris, 36 clusters
     o, d = _rays(2048, seed=19)

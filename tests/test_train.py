@@ -56,11 +56,7 @@ def test_multisegment_sampling():
     """segments_per_ray marches sampled rays through re-entries: later
     blocks carry live rows for non-convex shells (knot) and are all-invalid
     for convex ones (sphere — no re-entry exists)."""
-    import os
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "scripts"))
-    from test_knot_scene import knot_mesh
+    from test_knot_scene import knot_mesh  # tests/ is on pytest's rootdir path
 
     b, s = 768, 3
     # Convex sphere: block 1 valid like before, blocks 2..s dead.
