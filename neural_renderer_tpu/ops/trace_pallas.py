@@ -270,8 +270,10 @@ def _sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
     )(origins, dirs, tris_packed)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "num_tiles"))
-def trace_dense_pallas(origins, dirs, tris_packed, mode: int, num_tiles: int):
+@functools.partial(jax.jit, static_argnames=("mode", "num_tiles",
+                                              "interpret"))
+def trace_dense_pallas(origins, dirs, tris_packed, mode: int, num_tiles: int,
+                       interpret: bool = False):
     """origins/dirs [3, Npad] (Npad multiple of BLOCK_RAYS); tris_packed
     [9, num_tiles*TRI_TILE]. Returns (best_t [Npad], best_tri [Npad])."""
     n = origins.shape[1]
@@ -281,6 +283,7 @@ def trace_dense_pallas(origins, dirs, tris_packed, mode: int, num_tiles: int):
     out = pl.pallas_call(
         functools.partial(_kernel, mode=mode, num_tiles=num_tiles),
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
                          memory_space=pltpu.VMEM),

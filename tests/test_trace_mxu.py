@@ -290,6 +290,32 @@ def test_two_level_dispatch_interpret(mxu, monkeypatch):
                 == np.asarray(ref.tri)[both]).mean() > 0.99
 
 
+def test_vpu_dense_kernel_interpret_matches_brute():
+    """Symmetric coverage for the original VPU dense kernel body (its XLA
+    twin was CPU-tested; the kernel itself was not)."""
+    from neural_renderer_tpu.ops.trace_pallas import (BLOCK_RAYS, TRI_TILE,
+                                                      trace_dense_pallas)
+    mesh = outward_sphere(8, 16, 1.0).to_arrays()
+    tp = mesh.tris_packed
+    t_pad = -(-tp.shape[1] // TRI_TILE) * TRI_TILE
+    tp = jnp.pad(tp, ((0, 0), (0, t_pad - tp.shape[1])))
+    o, d = _rays(BLOCK_RAYS * 2, seed=23)
+    for mode in (traversal.ANY, traversal.BACKWARD_ONLY):
+        bt, tri = trace_dense_pallas(o, d, tp, mode, t_pad // TRI_TILE,
+                                     interpret=True)
+        ref = traversal.trace_mesh_brute(mesh, o, d, mode)
+        hit = np.asarray(bt) < 1e30
+        want = np.asarray(ref.hit)
+        assert (hit != want).mean() < 2e-3, mode
+        both = hit & want
+        assert both.sum() > 200
+        np.testing.assert_allclose(np.asarray(bt)[both],
+                                   np.asarray(ref.t)[both],
+                                   rtol=1e-6, atol=1e-6)
+        assert (np.asarray(tri)[both]
+                == np.asarray(ref.tri)[both]).mean() > 0.999
+
+
 def test_padding_triangles_never_hit():
     mesh = outward_sphere(6, 12, 1.0).to_arrays()
     o, d = _rays(256, seed=3)
