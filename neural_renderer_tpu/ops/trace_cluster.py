@@ -357,7 +357,8 @@ RESIDENT_MAX_TRIS = 131072
 
 
 def trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
-                          exit_t, mode: int, mxu: bool | None = None):
+                          exit_t, mode: int, mxu: bool | None = None,
+                          interpret: bool = False):
     """origins/dirs [3, Npad]; tris_packed [9, C*CLUSTER_SIZE] (HBM or VMEM
     by size); ids/tmins [NB*K] + counts [NB] from `_stream_worklist`; exit_t
     [Npad] per-ray whole-mesh-AABB exit t (0 for rays that miss the bbox or
@@ -367,12 +368,13 @@ def trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
     if mxu is None:
         mxu = os.environ.get("NR_TRACE_MXU") == "1"
     return _trace_clusters_stream(origins, dirs, tris_packed, ids, tmins,
-                                  counts, exit_t, mode, mxu)
+                                  counts, exit_t, mode, mxu, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "mxu"))
+@functools.partial(jax.jit, static_argnames=("mode", "mxu", "interpret"))
 def _trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
-                           exit_t, mode: int, mxu: bool):
+                           exit_t, mode: int, mxu: bool,
+                           interpret: bool = False):
     n = origins.shape[1]
     nb = n // BLOCK_RAYS
     k = ids.shape[0] // nb
@@ -414,6 +416,7 @@ def _trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((2, n), jnp.float32),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(n) * 64 * CLUSTER_SIZE * 45 // 4,
             bytes_accessed=int(n) * 32 + 9 * int(tris_packed.shape[1]) * 4,
@@ -589,7 +592,7 @@ def _sweep_stream_kernel(counts_ref, ids_hbm, tris_ref, o_ref, d_ref,
 
 def sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,
                           outer_clusters: int, with_fwd2: bool = False,
-                          mxu: bool | None = None):
+                          mxu: bool | None = None, interpret: bool = False):
     """origins/dirs [3, Npad]; tris_packed [9, (Co+Ci)*CLUSTER_SIZE] = outer
     clusters then inner clusters; ids [NB*K]/counts [NB] from
     `_stream_worklist` over the CONCATENATED cluster bounds.
@@ -599,13 +602,14 @@ def sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,
     if mxu is None:
         mxu = os.environ.get("NR_TRACE_MXU") == "1"
     return _sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,
-                                  outer_clusters, with_fwd2, mxu)
+                                  outer_clusters, with_fwd2, mxu, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("outer_clusters", "with_fwd2",
-                                              "mxu"))
+                                              "mxu", "interpret"))
 def _sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,
-                           outer_clusters: int, with_fwd2: bool, mxu: bool):
+                           outer_clusters: int, with_fwd2: bool, mxu: bool,
+                           interpret: bool = False):
     n = origins.shape[1]
     nb = n // BLOCK_RAYS
     k = ids.shape[0] // nb
@@ -645,6 +649,7 @@ def _sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.float32),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(n) * 32 * CLUSTER_SIZE * 50 // 4,
             bytes_accessed=int(n) * 44 + 9 * int(tris_packed.shape[1]) * 4,

@@ -222,7 +222,7 @@ def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
 
 def sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
                         num_tiles: int, with_fwd2: bool = False,
-                        mxu: bool | None = None):
+                        mxu: bool | None = None, interpret: bool = False):
     """origins/dirs [3, Npad]; tris_packed [9, num_tiles*TRI_TILE] =
     outer tris (num_outer_tiles tiles) then inner tris. Returns [5, Npad]:
     (outer_fwd_t, outer_bwd_t, inner_fwd_t, inner_bwd_t, outer_fwd2_t).
@@ -235,13 +235,15 @@ def sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
     if mxu is None:
         mxu = _os.environ.get("NR_TRACE_MXU") == "1"
     return _sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles,
-                                num_tiles, with_fwd2, mxu)
+                                num_tiles, with_fwd2, mxu, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("num_outer_tiles", "num_tiles",
-                                              "with_fwd2", "mxu"))
+                                              "with_fwd2", "mxu",
+                                              "interpret"))
 def _sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
-                         num_tiles: int, with_fwd2: bool, mxu: bool):
+                         num_tiles: int, with_fwd2: bool, mxu: bool,
+                         interpret: bool = False):
     n = origins.shape[1]
     t_total = tris_packed.shape[1]
     grid = (n // BLOCK_RAYS,)
@@ -252,6 +254,7 @@ def _sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
                           num_tiles=num_tiles, with_fwd2=with_fwd2,
                           mxu=mxu),
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
                          memory_space=pltpu.VMEM),

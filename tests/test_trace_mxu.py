@@ -135,13 +135,6 @@ def test_mxu_pallas_kernel_interpret_matches_twin():
                 == np.asarray(id_x)[both]).mean() > 0.999
 
 
-def _interpret_pallas(monkeypatch, module):
-    orig = module.pl.pallas_call
-    monkeypatch.setattr(
-        module.pl, "pallas_call",
-        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
-
-
 @pytest.mark.parametrize("mxu", [False, True])
 def test_streaming_sweep_kernel_interpret(mxu, monkeypatch):
     """The streaming cluster sweep kernel (DMA worklists + in-kernel
@@ -149,7 +142,6 @@ def test_streaming_sweep_kernel_interpret(mxu, monkeypatch):
     against the dense t-only oracle — the kernels' only CPU-executable
     validation before TPU time."""
     from neural_renderer_tpu.ops import trace_cluster as tc
-    _interpret_pallas(monkeypatch, tc)
 
     outer = outward_sphere(24, 48, 1.2).to_arrays()
     inner = outward_sphere(24, 48, 0.8).to_arrays()
@@ -170,7 +162,7 @@ def test_streaming_sweep_kernel_interpret(mxu, monkeypatch):
     ids, _, counts, _ = tc._stream_worklist(
         mask, jnp.where(mask, 0.0, jnp.inf), tc.STREAM_K)
     out = tc.sweep_clusters_stream(o, d, tp_cl, ids, counts, co,
-                                   with_fwd2=True, mxu=mxu)
+                                   with_fwd2=True, mxu=mxu, interpret=True)
 
     of, of2 = traversal._dense_t_only(outer, o, d, traversal.FORWARD_ONLY,
                                       two_min=True)
@@ -194,7 +186,6 @@ def test_streaming_trace_kernel_interpret(mxu, monkeypatch):
     """Closest-hit streaming cluster trace (front-to-back early-out +
     whole-mesh-exit cap) under interpret mode vs the brute oracle."""
     from neural_renderer_tpu.ops import trace_cluster as tc
-    _interpret_pallas(monkeypatch, tc)
 
     mesh = outward_sphere(24, 48, 1.0).to_arrays()
     o, d = _rays(1024, seed=13)
@@ -208,7 +199,7 @@ def test_streaming_trace_kernel_interpret(mxu, monkeypatch):
     ids, tmins, counts, _ = tc._stream_worklist(mask, btmin, tc.STREAM_K)
     exit_t = tc.mesh_exit_t(o, d, mesh.cluster_bounds, None)
     bt, tri = tc.trace_clusters_stream(o, d, tp, ids, tmins, counts, exit_t,
-                                       0, mxu=mxu)
+                                       0, mxu=mxu, interpret=True)
 
     ref = traversal.trace_mesh_brute(mesh, o, d, traversal.ANY)
     hit = np.asarray(bt) < 1e30
@@ -226,7 +217,6 @@ def test_dense_sweep_kernel_interpret(mxu, monkeypatch):
     """Dense dual-shell sweep kernel (small-shell path), VPU and MXU
     branches, under interpret mode vs the dense t-only oracle."""
     from neural_renderer_tpu.ops import trace_pallas as tp_mod
-    _interpret_pallas(monkeypatch, tp_mod)
 
     outer = outward_sphere(10, 20, 1.2).to_arrays()
     inner = outward_sphere(10, 20, 0.8).to_arrays()
@@ -242,7 +232,7 @@ def test_dense_sweep_kernel_interpret(mxu, monkeypatch):
     tpi, ti = pad_tiles(inner)
     out = tp_mod.sweep_shells_pallas(
         o, d, jnp.concatenate([tpo, tpi], axis=1), to, to + ti,
-        with_fwd2=True, mxu=mxu)
+        with_fwd2=True, mxu=mxu, interpret=True)
 
     of, of2 = traversal._dense_t_only(outer, o, d, traversal.FORWARD_ONLY,
                                       two_min=True)
@@ -267,11 +257,16 @@ def test_two_level_dispatch_interpret(mxu, monkeypatch):
     streaming kernel, unsort, overflow fallback wiring — executed end to end
     under interpret mode (normally unreachable on CPU behind
     platform_dependent), vs the brute oracle, in both pair-math branches."""
+    import functools
+
     from neural_renderer_tpu.ops import trace_cluster as tc
-    _interpret_pallas(monkeypatch, tc)
-    # The kernel wrapper resolves NR_TRACE_MXU outside the jit, so an env
-    # flip between parametrizations takes effect per call.
-    monkeypatch.setenv("NR_TRACE_MXU", "1" if mxu else "0")
+    # Route the dispatch's kernel call through interpret mode (a direct
+    # pallas_call monkeypatch cannot reach jit traces cached by earlier
+    # tests; the wrapper-level patch composes with the jit cache correctly
+    # because interpret is a static argument).
+    monkeypatch.setattr(
+        tc, "trace_clusters_stream",
+        functools.partial(tc.trace_clusters_stream, mxu=mxu, interpret=True))
 
     mesh = outward_sphere(48, 96, 1.0).to_arrays()  # 9216 tris, 36 clusters
     o, d = _rays(2048, seed=19)
