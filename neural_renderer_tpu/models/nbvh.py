@@ -189,7 +189,9 @@ def apply(params, inputs, config: NbvhConfig, compute_dtype=jnp.bfloat16,
         from ..ops.lane_grid_kernel import forward_lane
 
         def tpu_fn(params, inputs):
-            return forward_lane(params, inputs, config)
+            from ..ops.traversal import pallas_interpret_requested
+            return forward_lane(params, inputs, config,
+                                interpret=pallas_interpret_requested())
 
         def default_fn(params, inputs):
             encoded = encode_inputs(params, inputs, config)

@@ -41,6 +41,15 @@ BACKWARD_ONLY = 2
 MIN_T = 1e-6  # fixed minimum hit distance (mesh_traversal.cuh:131)
 TRI_EPSILON = 1e-8
 
+
+def pallas_interpret_requested() -> bool:
+    """NR_PALLAS_INTERPRET=1 runs every Pallas kernel in interpret mode —
+    combined with forcing the `tpu` platform_dependent branch, the FULL
+    production TPU compute path executes on CPU for end-to-end validation
+    (tests/test_frame_interpret.py). Read at trace time."""
+    import os
+    return os.environ.get("NR_PALLAS_INTERPRET") == "1"
+
 # Dense path wins while N*T vector work beats gather-bound BVH walking.
 DENSE_MAX_TRIANGLES = 16384
 _DENSE_TRI_CHUNK = 512
@@ -281,14 +290,16 @@ def sweep_shells(outer, inner, origins, dirs,
             mask = tc._block_cluster_mask(o, d, cb, act)
             ids, _, counts, _ = tc._stream_worklist(
                 mask, jnp.where(mask, 0.0, jnp.inf), tc.STREAM_K)
-            out = tc.sweep_clusters_stream(o, d, tp_cl, ids, counts, co,
-                                           with_fwd2=with_fwd2)
+            out = tc.sweep_clusters_stream(
+                o, d, tp_cl, ids, counts, co, with_fwd2=with_fwd2,
+                interpret=pallas_interpret_requested())
             return ShellSweep(out[0, :n], out[1, :n], out[2, :n], out[3, :n],
                               out[4, :n] if with_fwd2 else miss)
 
         out = sweep_shells_pallas(o, d, tp, outer_tiles,
                                   outer_tiles + inner_tiles,
-                                  with_fwd2=with_fwd2)
+                                  with_fwd2=with_fwd2,
+                                  interpret=pallas_interpret_requested())
         return ShellSweep(out[0, :n], out[1, :n],
                           out[2, :n] if not inner_empty else miss,
                           out[3, :n] if not inner_empty else miss,
@@ -356,7 +367,8 @@ def _trace_dense_tpu(mesh, origins, dirs, mode: int, active) -> TraceResult:
     if n_pad != n:
         o = jnp.pad(o, ((0, 0), (0, n_pad - n)))
         d = jnp.pad(d, ((0, 0), (0, n_pad - n)))
-    best_t, best_tri = trace_dense_pallas(o, d, tp, mode, t_pad // TRI_TILE)
+    best_t, best_tri = trace_dense_pallas(o, d, tp, mode, t_pad // TRI_TILE,
+                                          interpret=pallas_interpret_requested())
     best_t = best_t[:n]
     best_tri = jnp.clip(best_tri[:n], 0, num_tris - 1)
     hit = best_t < 1e30
@@ -546,7 +558,8 @@ def _trace_two_level_impl(mesh, origins, dirs, mode: int, active) -> TraceResult
                                                        tc.STREAM_K)
     exit_t = tc.mesh_exit_t(o, d, mesh.cluster_bounds, act_pad)
     best_t, best_tri = tc.trace_clusters_stream(
-        o, d, tp, ids, tmins, counts, exit_t, mode)
+        o, d, tp, ids, tmins, counts, exit_t, mode,
+        interpret=pallas_interpret_requested())
     best_t = best_t[:n]
     best_tri = jnp.clip(best_tri[:n], 0, num_tris - 1)
 
