@@ -257,16 +257,11 @@ def test_two_level_dispatch_interpret(mxu, monkeypatch):
     streaming kernel, unsort, overflow fallback wiring — executed end to end
     under interpret mode (normally unreachable on CPU behind
     platform_dependent), vs the brute oracle, in both pair-math branches."""
-    import functools
-
-    from neural_renderer_tpu.ops import trace_cluster as tc
-    # Route the dispatch's kernel call through interpret mode (a direct
-    # pallas_call monkeypatch cannot reach jit traces cached by earlier
-    # tests; the wrapper-level patch composes with the jit cache correctly
-    # because interpret is a static argument).
-    monkeypatch.setattr(
-        tc, "trace_clusters_stream",
-        functools.partial(tc.trace_clusters_stream, mxu=mxu, interpret=True))
+    # The dispatch's internal call sites resolve these env vars per call
+    # (outside any jit), and interpret/mxu are static cache keys — so this
+    # composes with traces cached by earlier tests.
+    monkeypatch.setenv("NR_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("NR_TRACE_MXU", "1" if mxu else "0")
 
     mesh = outward_sphere(48, 96, 1.0).to_arrays()  # 9216 tris, 36 clusters
     o, d = _rays(2048, seed=19)
