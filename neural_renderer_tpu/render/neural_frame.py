@@ -104,7 +104,10 @@ def _bounce_stage_compacted(ctx, params, additional_mesh, use_additional,
             origin=jnp.take(o_k, order_k, axis=1),
             direction=jnp.take(d_k, order_k, axis=1),
             pdf=jnp.where(valid, jnp.take(rays.pdf, idx, mode="clip"), 0.0),
-            brdf_weight=jnp.take(rays.brdf_weight, idx, axis=1, mode="clip"),
+            # brdf_weight is consumed only by the FULL-BATCH integrator after
+            # the stage (integrate_bounce); the stage itself never reads it —
+            # skip gathering those 3 rows.
+            brdf_weight=jnp.zeros((3, k), jnp.float32),
             distance=jnp.take(rays.distance, idx, mode="clip"))
         hits_k, act_k = stage(rays_k, valid)
         hits = pt.HitState(

@@ -49,6 +49,24 @@ import os as _os
 
 CAMERA_ENTRY_DEFAULT = _os.environ.get("NR_CAMERA_ENTRY", "fwd2")
 
+# Inside-start re-entry ("restart") strategy for shell entry from arbitrary
+# rays (traceOuterShellEntryFromRaysKernel, cuda_renderer_neural.cu:823-832):
+#   "derive" (default) — skip the re-entry trace entirely. A ray needs the
+#       restart only when its FORWARD trace from the origin missed; but every
+#       forward-facing crossing the shifted-origin retry could find lies at
+#       absolute t > exit_t + eps > MIN_T along the SAME ray, so the
+#       origin-anchored forward trace/sweep would already have reported it as
+#       its closest forward hit. The reference re-traces because its
+#       single-hit queries measure t from the shifted origin; our sweeps see
+#       every crossing from the origin, making the retry provably a miss.
+#       The only divergence class is FP-grazing lanes where the
+#       shifted-origin arithmetic rounds a borderline intersection
+#       differently — measured to save a full dense outer-shell pass per
+#       bounce (BASELINE.md).
+#   "trace" — the reference-shaped retry trace, kept for A/B and as the
+#       semantic oracle (tests/test_shell_sweep.py pins derive == trace).
+ENTRY_RETRY_DEFAULT = _os.environ.get("NR_ENTRY_RETRY", "derive")
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -71,12 +89,23 @@ def _shell_entry_camera(outer, origins, dirs):
     return entry_pos, active, accum_t
 
 
-def _shell_entry_from_rays(outer, origins, dirs, ray_active, pdfs):
+def _shell_entry_from_rays(outer, origins, dirs, ray_active, pdfs,
+                           retry: str | None = None):
     """traceOuterShellEntryFromRaysKernel (:773-852): rays starting inside
-    the outer shell first exit (BACKWARD_ONLY) then re-enter."""
+    the outer shell first exit (BACKWARD_ONLY) then re-enter. Under the
+    default retry="derive" the re-entry traces are skipped — they are
+    provably misses (ENTRY_RETRY_DEFAULT note above)."""
+    if retry is None:
+        retry = ENTRY_RETRY_DEFAULT
     ok = ray_active & (pdfs > 0.0)
     res_fwd = traversal.trace_mesh(outer, origins, dirs,
                                    traversal.FORWARD_ONLY, active=ok)
+    if retry != "trace":
+        hit = ok & res_fwd.hit
+        entry_pos = origins + dirs * res_fwd.t[None, :]
+        entry_pos = where3(hit, entry_pos, jnp.zeros_like(entry_pos))
+        accum_t = jnp.where(hit, res_fwd.t, 0.0)
+        return entry_pos, hit, accum_t
     need_restart = ok & ~res_fwd.hit
     res_back = traversal.trace_mesh(outer, origins, dirs,
                                     traversal.BACKWARD_ONLY, active=need_restart)
@@ -454,8 +483,14 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         return (it + 1, active, entry_pos, accum_t, out)
 
     if sw_first is not None:
-        # Peeled iteration 1 (full batch — entry-active fractions are above
-        # the compaction tiers anyway) consuming the precomputed sweep.
+        # Peeled iteration 1 (full batch) consuming the precomputed sweep.
+        # Compacting this peel to the entry-active prefix (~32% of camera
+        # rays) was tried and REVERTED: at the n/2 tier the scatter-back of
+        # ~14 HitState/state rows costs far more than the ~40 ns/ray of
+        # network+segment math it saves (4.27 -> 2.35 Mrays/s @1080p,
+        # BASELINE.md) — the same lesson as the whole-bounce-compaction
+        # negative result: compaction pays only for sweep-heavy stages at
+        # small tiers, and TPU scatters are several times the gather cost.
         (found, hit_pos, normal, color, distance, active, entry_pos,
          accum_t) = segment_step(dirs, entry_pos, active, accum_t,
                                  sw=sw_first)
@@ -467,16 +502,23 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
     return out_hit
 
 
-def bounce_shell_entry_and_early_term(ctx: NeuralContext, rays, path_active):
+def bounce_shell_entry_and_early_term(ctx: NeuralContext, rays, path_active,
+                                      retry: str | None = None):
     """Fused bounce-stage shell work: checkBounceEarlyTerminationKernel
     (cuda_renderer_neural.cu:503-553) + traceOuterShellEntryFromRaysKernel
     (:773-852) share their ray origins, so ONE shell sweep serves both —
-    replacing four facing-culled traces with a single dense pass (plus a
-    mostly-inactive retry trace for rays that start inside the shell).
+    replacing four facing-culled traces with a single dense pass. Under the
+    default retry="derive" the inside-start re-entry trace is skipped too:
+    the sweep's outer_fwd already IS the closest forward crossing from the
+    origin, so a ray without one cannot gain one from a shifted origin
+    (ENTRY_RETRY_DEFAULT note above) — that retry was a full dense
+    outer-shell pass per bounce (BASELINE.md).
 
     Returns (active, (entry_pos, entry_hit, accum_t)); the tuple feeds
     trace_neural_segments(entry=...).
     """
+    if retry is None:
+        retry = ENTRY_RETRY_DEFAULT
     sw = traversal.sweep_shells(ctx.outer, ctx.inner, rays.origin,
                                 rays.direction)
     outer_any = jnp.minimum(sw.outer_fwd, sw.outer_bwd)
@@ -489,10 +531,16 @@ def bounce_shell_entry_and_early_term(ctx: NeuralContext, rays, path_active):
         (inner_any < outer_any)
     active = path_active & ~kill
 
-    # Shell entry from arbitrary rays; rays starting inside the outer shell
-    # first exit (BACKWARD) then re-enter via the masked retry trace.
+    # Shell entry from arbitrary rays.
     ok = active & (rays.pdf > 0.0)
     fwd_hit = ok & (sw.outer_fwd < 1e30)
+    if retry != "trace":
+        entry_pos = rays.origin + rays.direction * sw.outer_fwd[None, :]
+        entry_pos = where3(fwd_hit, entry_pos, jnp.zeros_like(entry_pos))
+        accum_t = jnp.where(fwd_hit, sw.outer_fwd, 0.0)
+        return active, (entry_pos, fwd_hit, accum_t)
+    # Reference-shaped retry: rays starting inside the outer shell first
+    # exit (BACKWARD) then re-enter via the masked retry trace.
     need_restart = ok & ~fwd_hit
     bwd_hit = sw.outer_bwd < 1e30
     base_offset = jnp.where(need_restart & bwd_hit,

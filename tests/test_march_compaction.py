@@ -42,10 +42,16 @@ def test_compacted_march_matches_full():
     oj = jnp.asarray(o.T, jnp.float32)
     dj = jnp.asarray(d.T, jnp.float32)
 
-    a = trace_neural_segments(ctx, params, oj, dj, compute_dtype=jnp.float32,
-                              compaction=False)
-    b = trace_neural_segments(ctx, params, oj, dj, compute_dtype=jnp.float32,
-                              compaction=True)
+    # Compare within jit: eagerly, lax.cond branches (the compacted tiers
+    # and peel) execute compiled while straight-line code runs op-by-op,
+    # which flips FMA contraction at the ulp level (BASELINE.md lesson);
+    # production paths are always jitted.
+    a = jax.jit(lambda o, d: trace_neural_segments(
+        ctx, params, o, d, compute_dtype=jnp.float32,
+        compaction=False))(oj, dj)
+    b = jax.jit(lambda o, d: trace_neural_segments(
+        ctx, params, o, d, compute_dtype=jnp.float32,
+        compaction=True))(oj, dj)
     np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
     h = np.asarray(a.hit)
     np.testing.assert_array_equal(np.asarray(a.position).T[h],

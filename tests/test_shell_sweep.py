@@ -247,3 +247,55 @@ def test_march_with_precomputed_entry_matches():
     np.testing.assert_array_equal(np.asarray(a.distance),
                                   np.asarray(b.distance))
     assert int(np.asarray(a.hit).sum()) > 50
+
+
+def test_entry_retry_derive_matches_trace():
+    """The default retry="derive" (no re-entry trace) must equal the
+    reference-shaped retry="trace" path bit-exactly: a ray whose FORWARD
+    trace from its origin missed cannot gain a forward crossing from a
+    shifted origin (crossings along the same ray are a fixed set; the sweep
+    already reported the closest one). Mixed inside/outside-start rays
+    exercise both branches, including bounce-like origins between the
+    shells."""
+    from neural_renderer_tpu.render.neural_march import _shell_entry_from_rays
+
+    outer = outward_sphere(12, 24, 1.2).to_arrays()
+    inner = outward_sphere(12, 24, 0.8).to_arrays()
+    cfg = nbvh.NbvhConfig(log2_hashmap_size=10, base_resolution=8, n_levels=2,
+                          mlp_width=32, mlp_hidden_layers=2)
+    net = nbvh.init_params(jax.random.PRNGKey(2), cfg)
+    ctx = NeuralContext(outer=outer, inner=inner, net_params=net, config=cfg)
+
+    n = 4096
+    rng = np.random.default_rng(11)
+    # Half the origins between the shells (bounce-ray geometry: inside the
+    # outer mesh, where the traced retry used to run), half outside.
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    r = np.where(rng.random(n) < 0.5, rng.uniform(0.85, 1.15, n),
+                 rng.uniform(1.5, 3.0, n))
+    o = jnp.asarray((u * r[:, None]).T, jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.T, jnp.float32)
+    pdf = jnp.asarray(np.where(rng.random(n) < 0.9, rng.random(n) + 0.1, 0.0),
+                      jnp.float32)
+    dist = jnp.asarray(rng.random(n) + 0.05, jnp.float32)
+    active = jnp.asarray(rng.random(n) < 0.85)
+    rays = pt.BounceRays(origin=o, direction=d, pdf=pdf,
+                         brdf_weight=jnp.zeros((3, n), jnp.float32),
+                         distance=dist)
+
+    for fn, args in (
+            (bounce_shell_entry_and_early_term, (ctx, rays, active)),
+            (_shell_entry_from_rays, (outer, o, d, active, pdf))):
+        got = jax.jit(lambda *a, f=fn: f(*a, retry="derive"))(*args)
+        ref = jax.jit(lambda *a, f=fn: f(*a, retry="trace"))(*args)
+        for g, r_ in zip(jax.tree_util.tree_leaves(got),
+                         jax.tree_util.tree_leaves(ref)):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r_))
+    # The scenario must actually contain inside-start rays (the branch the
+    # derivation removes).
+    sw = traversal.sweep_shells(outer, inner, o, d)
+    inside_start = np.asarray((sw.outer_fwd >= 1e30) & (sw.outer_bwd < 1e30))
+    assert inside_start.sum() > 500
