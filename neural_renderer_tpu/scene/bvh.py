@@ -261,8 +261,8 @@ _NATIVE_TRIED = False
 
 
 def _lib_path() -> str:
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(root, "csrc", "libbvh_builder.so")
+    from ..utils.native import csrc_path
+    return csrc_path("libbvh_builder.so")
 
 
 def _load_native():

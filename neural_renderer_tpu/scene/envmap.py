@@ -42,11 +42,9 @@ def _load_rle_native():
         return _RLE_LIB
     _RLE_TRIED = True
     import ctypes
-    root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    from ..utils.native import ensure_native_lib
-    lib_path = ensure_native_lib(os.path.join(root, "csrc", "hdr_rle.cpp"),
-                                 os.path.join(root, "csrc", "libhdr_rle.so"))
+    from ..utils.native import csrc_path, ensure_native_lib
+    lib_path = ensure_native_lib(csrc_path("hdr_rle.cpp"),
+                                 csrc_path("libhdr_rle.so"))
     if lib_path is None:
         return None
     try:

@@ -21,9 +21,8 @@ _TRIED = False
 
 
 def _lib_path() -> str:
-    root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    return os.path.join(root, "csrc", "libobj_parser.so")
+    from ..utils.native import csrc_path
+    return csrc_path("libobj_parser.so")
 
 
 def _load():

@@ -35,7 +35,14 @@ def enable(cache_dir: str | None = None) -> str | None:
     if not cache_dir:
         root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
-        cache_dir = os.path.join(root, ".jax_cache")
+        if os.path.isdir(os.path.join(root, ".git")):
+            cache_dir = os.path.join(root, ".jax_cache")
+        else:
+            # Installed package: never write into site-packages.
+            cache_dir = os.path.join(
+                os.environ.get("XDG_CACHE_HOME",
+                               os.path.expanduser("~/.cache")),
+                "neural_renderer_tpu", "jax_cache")
     # XLA:CPU prints two benign machine-feature-hint warnings per cached
     # executable load; silence them unless the user chose a log level
     # (must be set before XLA's native libs initialize).

@@ -12,6 +12,13 @@ import os
 import subprocess
 
 
+def csrc_path(*names: str) -> str:
+    """Path inside the package's csrc/ directory (shipped as package data,
+    so the same resolution works for a repo checkout and a pip install)."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(pkg_root, "csrc", *names)
+
+
 def ensure_native_lib(src: str, lib: str, flags=("-O3",)) -> str | None:
     """Compile `src` to shared library `lib` when the lib is missing or
     older than the source. Returns the lib path, or None when no compiler
