@@ -175,7 +175,7 @@ def mlp_forward(mlp_params, x, compute_dtype=jnp.bfloat16):
 
 
 def apply(params, inputs, config: NbvhConfig, compute_dtype=jnp.bfloat16,
-          use_kernel: bool = False):
+          use_kernel: bool = False, active=None):
     """Full forward: [12, N] -> [padded_output_dims, N] f32 (channel-major:
     row 0 = presence logit, 1 = distance, 2:5 = normal, 5:8 = color).
 
@@ -183,23 +183,31 @@ def apply(params, inputs, config: NbvhConfig, compute_dtype=jnp.bfloat16,
     fully fused Pallas kernel (inference only — not differentiable; training
     keeps use_kernel=False and differentiates this XLA path, mirroring the
     reference where tcnn inference_mixed_precision is likewise
-    inference-only). Non-TPU platforms fall back to the XLA path."""
+    inference-only). Non-TPU platforms fall back to the XLA path.
+
+    `active` ([N] bool) is a kernel-path-only hint: 128-ray blocks with no
+    active ray skip the network and output zeros (the caller must mask those
+    lanes, as the shell march does). The XLA path ignores it — outputs are
+    only compared on active lanes."""
     if (use_kernel and config.grid_type == "lane"
             and compute_dtype == jnp.bfloat16):
         from ..ops.lane_grid_kernel import forward_lane
 
-        def tpu_fn(params, inputs):
+        def tpu_fn(params, inputs, active):
             from ..ops.traversal import pallas_interpret_requested
             return forward_lane(params, inputs, config,
-                                interpret=pallas_interpret_requested())
+                                interpret=pallas_interpret_requested(),
+                                active=active)
 
-        def default_fn(params, inputs):
+        def default_fn(params, inputs, active):
             encoded = encode_inputs(params, inputs, config)
             return mlp_forward(params["mlp"], encoded,
                                compute_dtype=jnp.bfloat16)
 
-        return jax.lax.platform_dependent(params, inputs, tpu=tpu_fn,
-                                          default=default_fn)
+        if active is None:
+            active = jnp.ones((inputs.shape[1],), bool)
+        return jax.lax.platform_dependent(params, inputs, active,
+                                          tpu=tpu_fn, default=default_fn)
     n = inputs.shape[1]
     if n > ENC_CHUNK:
         # Chunk the XLA encode+MLP over segments: the [N, 112] feature stack

@@ -123,35 +123,51 @@ def _encode_block(x, tables_ref, *, n_points, n_levels, n_features, sublanes,
     return feats
 
 
-def _forward_kernel(x_ref, tables_ref, w0_ref, w1_ref, w2_ref, w3_ref,
-                    wout_ref, out_ref, *, n_points, n_levels, n_features,
-                    sublanes, entry_pack, base_resolution, per_level_scale,
-                    encoded_dims):
-    x = x_ref[:]
-    feats = _encode_block(
-        x, tables_ref, n_points=n_points, n_levels=n_levels,
-        n_features=n_features, sublanes=sublanes, entry_pack=entry_pack,
-        base_resolution=base_resolution, per_level_scale=per_level_scale)
-    feats.extend(f.reshape(1, LANES) for f in
-                 sh_encode_features(x[3 * n_points:3 * n_points + 3, :]))
-    # [encoded_dims(=112), 128] -> zero-pad rows to the MLP width.
-    h = jnp.concatenate(feats, axis=0)
-    pad = w0_ref.shape[1] - encoded_dims
-    if pad:
-        h = jnp.concatenate([h, jnp.zeros((pad, LANES), jnp.float32)], axis=0)
+def _forward_kernel(mask_ref, x_ref, tables_ref, w0_ref, w1_ref, w2_ref,
+                    w3_ref, wout_ref, out_ref, *, n_points, n_levels,
+                    n_features, sublanes, entry_pack, base_resolution,
+                    per_level_scale, encoded_dims):
+    # Per-block activity skip: a block with no active ray writes zeros and
+    # skips encode + MLP entirely — zero data movement, unlike compaction
+    # (whose scatter-back cost killed two attempts, BASELINE.md). The camera
+    # march's peeled iteration 1 runs the network full-batch with only the
+    # entry-active rays (~1/3) mattering; compacted-tier tail blocks past
+    # `count` are likewise all-dead.
+    i = pl.program_id(0)
 
-    # Transposed MLP: h stays channel-major [width, rays]; weights [out, in].
-    # DEFAULT precision: a global 'highest' would request an f32-contract
-    # bf16 matmul Mosaic cannot lower.
-    prec = jax.lax.Precision.DEFAULT
-    h = h.astype(jnp.bfloat16)
-    for w_ref in (w0_ref, w1_ref, w2_ref, w3_ref):
-        a = jnp.dot(w_ref[:], h, preferred_element_type=jnp.float32,
-                    precision=prec)
-        a = jnp.where(a > 0, a, nbvh.LEAKY_SLOPE * a)
-        h = a.astype(jnp.bfloat16)
-    out_ref[:] = jnp.dot(wout_ref[:], h, preferred_element_type=jnp.float32,
-                         precision=prec)
+    @pl.when(mask_ref[i] == 0)
+    def _dead():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(mask_ref[i] != 0)
+    def _live():
+        x = x_ref[:]
+        feats = _encode_block(
+            x, tables_ref, n_points=n_points, n_levels=n_levels,
+            n_features=n_features, sublanes=sublanes, entry_pack=entry_pack,
+            base_resolution=base_resolution, per_level_scale=per_level_scale)
+        feats.extend(f.reshape(1, LANES) for f in
+                     sh_encode_features(x[3 * n_points:3 * n_points + 3, :]))
+        # [encoded_dims(=112), 128] -> zero-pad rows to the MLP width.
+        h = jnp.concatenate(feats, axis=0)
+        pad = w0_ref.shape[1] - encoded_dims
+        if pad:
+            h = jnp.concatenate(
+                [h, jnp.zeros((pad, LANES), jnp.float32)], axis=0)
+
+        # Transposed MLP: h stays channel-major [width, rays]; weights
+        # [out, in]. DEFAULT precision: a global 'highest' would request an
+        # f32-contract bf16 matmul Mosaic cannot lower.
+        prec = jax.lax.Precision.DEFAULT
+        h = h.astype(jnp.bfloat16)
+        for w_ref in (w0_ref, w1_ref, w2_ref, w3_ref):
+            a = jnp.dot(w_ref[:], h, preferred_element_type=jnp.float32,
+                        precision=prec)
+            a = jnp.where(a > 0, a, nbvh.LEAKY_SLOPE * a)
+            h = a.astype(jnp.bfloat16)
+        out_ref[:] = jnp.dot(wout_ref[:], h,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
 
 
 def pack_lane_weights(params, config: nbvh.NbvhConfig, dtype=jnp.bfloat16):
@@ -171,8 +187,8 @@ def pack_lane_weights(params, config: nbvh.NbvhConfig, dtype=jnp.bfloat16):
     static_argnames=("n_points", "n_levels", "n_features", "sublanes",
                      "entry_pack", "base_resolution", "per_level_scale",
                      "encoded_dims", "out_dims", "interpret"))
-def _forward_padded(x_pad, tables2d, w0, w1, w2, w3, wout, *, n_points,
-                    n_levels, n_features, sublanes, entry_pack,
+def _forward_padded(x_pad, block_mask, tables2d, w0, w1, w2, w3, wout, *,
+                    n_points, n_levels, n_features, sublanes, entry_pack,
                     base_resolution, per_level_scale, encoded_dims, out_dims,
                     interpret):
     n = x_pad.shape[1]
@@ -183,43 +199,61 @@ def _forward_padded(x_pad, tables2d, w0, w1, w2, w3, wout, *, n_points,
         base_resolution=base_resolution, per_level_scale=per_level_scale,
         encoded_dims=encoded_dims)
 
-    def col_map(i):
+    def col_map(i, mask_ref):
         return (0, i)
 
-    def pinned(i):
+    def pinned(i, mask_ref):
         return (0, 0)
 
     width = w0.shape[0]
     return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((x_pad.shape[0], LANES), col_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(tables2d.shape, pinned, memory_space=pltpu.VMEM),
-            pl.BlockSpec((width, width), pinned, memory_space=pltpu.VMEM),
-            pl.BlockSpec((width, width), pinned, memory_space=pltpu.VMEM),
-            pl.BlockSpec((width, width), pinned, memory_space=pltpu.VMEM),
-            pl.BlockSpec((width, width), pinned, memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_dims, width), pinned, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((out_dims, LANES), col_map,
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((x_pad.shape[0], LANES), col_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tables2d.shape, pinned,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((width, width), pinned,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((width, width), pinned,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((width, width), pinned,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((width, width), pinned,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((out_dims, width), pinned,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((out_dims, LANES), col_map),
+        ),
         out_shape=jax.ShapeDtypeStruct((out_dims, n), jnp.float32),
         interpret=interpret,
-    )(x_pad, tables2d, w0, w1, w2, w3, wout)
+    )(block_mask, x_pad, tables2d, w0, w1, w2, w3, wout)
 
 
 def forward_lane(params, inputs, config: nbvh.NbvhConfig,
-                 interpret: bool = False):
+                 interpret: bool = False, active=None):
     """Full network forward via the fused kernel. inputs [12, N]
     channel-major -> [padded_output_dims, N] f32. Inference only (training
     differentiates the XLA twin, mirroring the reference where tcnn
-    inference_mixed_precision is likewise inference-only)."""
+    inference_mixed_precision is likewise inference-only).
+
+    `active` ([N] bool, optional) enables the per-block skip: 128-ray blocks
+    with no active ray output zeros without running encode/MLP. Callers must
+    mask those lanes out downstream (the shell march already does)."""
     assert config.grid_type == "lane"
     n = inputs.shape[1]
     npad = _round_up(max(n, LANES), LANES)
     x = inputs if npad == n else jnp.pad(inputs, ((0, 0), (0, npad - n)))
+    if active is None:
+        block_mask = jnp.ones((npad // LANES,), jnp.int32)
+    else:
+        apad = active if npad == n else jnp.pad(active, (0, npad - n))
+        block_mask = jnp.any(apad.reshape(npad // LANES, LANES),
+                             axis=1).astype(jnp.int32)
 
     tables = params["lane"]
     if tables.ndim == 6:
@@ -240,7 +274,7 @@ def forward_lane(params, inputs, config: nbvh.NbvhConfig,
         entry_pack = 1
     w0, w1, w2, w3, wout = pack_lane_weights(params, config)
     out = _forward_padded(
-        x.astype(jnp.float32), tables2d, w0, w1, w2, w3, wout,
+        x.astype(jnp.float32), block_mask, tables2d, w0, w1, w2, w3, wout,
         n_points=config.point_count, n_levels=config.n_levels,
         n_features=config.n_features, sublanes=s_, entry_pack=entry_pack,
         base_resolution=config.base_resolution,

@@ -28,7 +28,27 @@ MIN_T = 1e-6
 TRI_EPSILON = 1e-8
 
 
-def _kernel(o_ref, d_ref, tri_ref, out_ref, *, mode: int, num_tiles: int):
+def _kernel(mask_ref, o_ref, d_ref, tri_ref, out_ref, *, mode: int,
+            num_tiles: int):
+    """mask_ref (scalar prefetch): per-block skip flags — 0 means every ray
+    in the block is known to miss (AABB prefilter / inactive); the block
+    writes misses without touching a triangle tile."""
+    i = pl.program_id(0)
+
+    @pl.when(mask_ref[i] == 0)
+    def _dead():
+        out_ref[0, :] = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
+        out_ref[1, :] = jax.lax.bitcast_convert_type(
+            jnp.zeros((BLOCK_RAYS,), jnp.int32), jnp.float32)
+
+    @pl.when(mask_ref[i] != 0)
+    def _live():
+        _trace_block_body(o_ref, d_ref, tri_ref, out_ref, mode=mode,
+                          num_tiles=num_tiles)
+
+
+def _trace_block_body(o_ref, d_ref, tri_ref, out_ref, *, mode: int,
+                      num_tiles: int):
     ox = o_ref[0, :][:, None]
     oy = o_ref[1, :][:, None]
     oz = o_ref[2, :][:, None]
@@ -101,8 +121,9 @@ def _kernel(o_ref, d_ref, tri_ref, out_ref, *, mode: int, num_tiles: int):
     out_ref[1, :] = jax.lax.bitcast_convert_type(best_tri, jnp.float32)
 
 
-def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
-                  num_tiles: int, with_fwd2: bool, mxu: bool = False):
+def _sweep_kernel(mask_ref, o_ref, d_ref, tri_ref, out_ref, *,
+                  num_outer_tiles: int, num_tiles: int, with_fwd2: bool,
+                  mxu: bool = False):
     """Dual-mesh dual-facing sweep: tris_packed = [outer | inner] (each padded
     to TRI_TILE). Emits per-ray nearest FORWARD and BACKWARD hit t for each
     mesh in one pass, plus the SECOND-nearest outer forward t — out rows =
@@ -114,7 +135,29 @@ def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
     because an ANY-mode closest hit equals min(forward closest, backward
     closest). outer_fwd2 lets the camera path derive the march's first
     re-entry without a second launch (crossings alternate on a closed
-    surface)."""
+    surface).
+
+    mask_ref (scalar prefetch): per-block activity/AABB-prefilter flags — a
+    block whose rays all miss the shells' (padded) union AABB, or carry no
+    active ray, writes misses without sweeping a single triangle tile."""
+    i = pl.program_id(0)
+
+    @pl.when(mask_ref[i] == 0)
+    def _dead():
+        miss = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
+        for r in range(5 if with_fwd2 else 4):
+            out_ref[r, :] = miss
+
+    @pl.when(mask_ref[i] != 0)
+    def _live():
+        _sweep_block_body(o_ref, d_ref, tri_ref, out_ref,
+                          num_outer_tiles=num_outer_tiles,
+                          num_tiles=num_tiles, with_fwd2=with_fwd2, mxu=mxu)
+
+
+def _sweep_block_body(o_ref, d_ref, tri_ref, out_ref, *,
+                      num_outer_tiles: int, num_tiles: int, with_fwd2: bool,
+                      mxu: bool):
     ox = o_ref[0, :][:, None]
     oy = o_ref[1, :][:, None]
     oz = o_ref[2, :][:, None]
@@ -222,10 +265,15 @@ def _sweep_kernel(o_ref, d_ref, tri_ref, out_ref, *, num_outer_tiles: int,
 
 def sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
                         num_tiles: int, with_fwd2: bool = False,
-                        mxu: bool | None = None, interpret: bool = False):
+                        mxu: bool | None = None, interpret: bool = False,
+                        block_mask=None):
     """origins/dirs [3, Npad]; tris_packed [9, num_tiles*TRI_TILE] =
     outer tris (num_outer_tiles tiles) then inner tris. Returns [5, Npad]:
     (outer_fwd_t, outer_bwd_t, inner_fwd_t, inner_bwd_t, outer_fwd2_t).
+
+    block_mask ([Npad/BLOCK_RAYS] int32, optional): per-block skip flags —
+    0 means every ray in the 512-ray block is known to miss (AABB prefilter
+    or inactive); the block writes 1e30 without sweeping any tiles.
 
     mxu=None reads NR_TRACE_MXU here, outside the jit, so direct callers
     can flip the env var between calls; a call from inside another jitted
@@ -234,15 +282,19 @@ def sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
     import os as _os
     if mxu is None:
         mxu = _os.environ.get("NR_TRACE_MXU") == "1"
-    return _sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles,
-                                num_tiles, with_fwd2, mxu, interpret)
+    if block_mask is None:
+        block_mask = jnp.ones((origins.shape[1] // BLOCK_RAYS,), jnp.int32)
+    return _sweep_shells_pallas(origins, dirs, tris_packed, block_mask,
+                                num_outer_tiles, num_tiles, with_fwd2, mxu,
+                                interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("num_outer_tiles", "num_tiles",
                                               "with_fwd2", "mxu",
                                               "interpret"))
-def _sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
-                         num_tiles: int, with_fwd2: bool, mxu: bool,
+def _sweep_shells_pallas(origins, dirs, tris_packed, block_mask,
+                         num_outer_tiles: int, num_tiles: int,
+                         with_fwd2: bool, mxu: bool,
                          interpret: bool = False):
     n = origins.shape[1]
     t_total = tris_packed.shape[1]
@@ -253,56 +305,63 @@ def _sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
         functools.partial(_sweep_kernel, num_outer_tiles=num_outer_tiles,
                           num_tiles=num_tiles, with_fwd2=with_fwd2,
                           mxu=mxu),
-        grid=grid,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((3, BLOCK_RAYS), lambda i, m: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, BLOCK_RAYS), lambda i, m: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, t_total), lambda i, m: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rows, BLOCK_RAYS), lambda i, m: (0, i)),
+        ),
         interpret=interpret,
-        in_specs=[
-            pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, t_total), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((rows, BLOCK_RAYS), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=int(n) * int(t_total) * 50,
             bytes_accessed=int(n) * 40 + 9 * int(t_total) * 4,
             transcendentals=0),
-    )(origins, dirs, tris_packed)
+    )(block_mask, origins, dirs, tris_packed)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "num_tiles",
                                               "interpret"))
 def trace_dense_pallas(origins, dirs, tris_packed, mode: int, num_tiles: int,
-                       interpret: bool = False):
+                       interpret: bool = False, block_mask=None):
     """origins/dirs [3, Npad] (Npad multiple of BLOCK_RAYS); tris_packed
-    [9, num_tiles*TRI_TILE]. Returns (best_t [Npad], best_tri [Npad])."""
+    [9, num_tiles*TRI_TILE]. Returns (best_t [Npad], best_tri [Npad]).
+    block_mask: optional per-512-ray-block skip flags (see _kernel)."""
     n = origins.shape[1]
     t_total = tris_packed.shape[1]
     grid = (n // BLOCK_RAYS,)
+    if block_mask is None:
+        block_mask = jnp.ones((n // BLOCK_RAYS,), jnp.int32)
 
     out = pl.pallas_call(
         functools.partial(_kernel, mode=mode, num_tiles=num_tiles),
-        grid=grid,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((3, BLOCK_RAYS), lambda i, m: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, BLOCK_RAYS), lambda i, m: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, t_total), lambda i, m: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((2, BLOCK_RAYS), lambda i, m: (0, i)),
+        ),
         interpret=interpret,
-        in_specs=[
-            pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_RAYS), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, t_total), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((2, BLOCK_RAYS), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=int(n) * int(t_total) * 45,
             bytes_accessed=int(n) * 32 + 9 * int(t_total) * 4,
             transcendentals=0),
-    )(origins, dirs, tris_packed)
+    )(block_mask, origins, dirs, tris_packed)
     best_t = out[0]
     best_tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
     return best_t, best_tri

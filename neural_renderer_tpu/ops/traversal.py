@@ -72,6 +72,29 @@ class TraceResult(NamedTuple):
     hit: jnp.ndarray      # [N] bool
 
 
+def _ray_hits_box(origins, dirs, bmin, bmax):
+    """Conservative slab test of [3, N] rays vs one AABB (t >= 0). The box
+    is padded by a relative epsilon so FP rounding can never reject a ray
+    that intersects geometry inside it; degenerate (zero) direction
+    components are handled explicitly (0 * inf would poison the slabs with
+    NaN). Used as a block-skip prefilter for the dense sweep kernel."""
+    pad = 1e-4 * jnp.max(bmax - bmin) + 1e-6
+    lo = (bmin - pad)[:, None]
+    hi = (bmax + pad)[:, None]
+    deg = jnp.abs(dirs) < 1e-30
+    inv = 1.0 / jnp.where(deg, 1.0, dirs)
+    t0 = (lo - origins) * inv
+    t1 = (hi - origins) * inv
+    inside = (origins >= lo) & (origins <= hi)
+    near = jnp.where(deg, jnp.where(inside, -jnp.inf, jnp.inf),
+                     jnp.minimum(t0, t1))
+    far = jnp.where(deg, jnp.where(inside, jnp.inf, -jnp.inf),
+                    jnp.maximum(t0, t1))
+    tmin = jnp.max(near, axis=0)
+    tmax = jnp.min(far, axis=0)
+    return tmax >= jnp.maximum(tmin, 0.0)
+
+
 def _miss(n):
     return TraceResult(
         t=jnp.full((n,), 1e30, jnp.float32),
@@ -296,10 +319,26 @@ def sweep_shells(outer, inner, origins, dirs,
             return ShellSweep(out[0, :n], out[1, :n], out[2, :n], out[3, :n],
                               out[4, :n] if with_fwd2 else miss)
 
+        # Per-block AABB prefilter: a 512-ray block whose rays all miss the
+        # shells' union root AABB (conservatively padded) skips the whole
+        # dual-mesh tile sweep inside the kernel — typical camera frames
+        # have the object covering a fraction of the screen, and bounce
+        # prefixes carry dead tail blocks past `count`.
+        bmin = outer.bvh_bounds_min[:, 0]
+        bmax = outer.bvh_bounds_max[:, 0]
+        if not inner_empty:
+            bmin = jnp.minimum(bmin, inner.bvh_bounds_min[:, 0])
+            bmax = jnp.maximum(bmax, inner.bvh_bounds_max[:, 0])
+        hit_box = _ray_hits_box(o, d, bmin, bmax)
+        if act is not None:
+            hit_box &= act
+        block_mask = jnp.any(
+            hit_box.reshape(-1, BLOCK_RAYS), axis=1).astype(jnp.int32)
         out = sweep_shells_pallas(o, d, tp, outer_tiles,
                                   outer_tiles + inner_tiles,
                                   with_fwd2=with_fwd2,
-                                  interpret=pallas_interpret_requested())
+                                  interpret=pallas_interpret_requested(),
+                                  block_mask=block_mask)
         return ShellSweep(out[0, :n], out[1, :n],
                           out[2, :n] if not inner_empty else miss,
                           out[3, :n] if not inner_empty else miss,
@@ -350,7 +389,8 @@ def _trace_dense(mesh, origins, dirs, mode: int, active) -> TraceResult:
 def _trace_dense_tpu(mesh, origins, dirs, mode: int, active) -> TraceResult:
     from .trace_pallas import BLOCK_RAYS, TRI_TILE, trace_dense_pallas
     import os as _os
-    if _os.environ.get("NR_TRACE_MXU") == "1":
+    use_mxu = _os.environ.get("NR_TRACE_MXU") == "1"
+    if use_mxu:
         # Opt-in matmul formulation (ops/trace_mxu.py): pair math on the
         # MXU at bf16x6, ~1-ulp off the VPU kernel — A/B pending, see
         # BASELINE.md roadmap lever 6.
@@ -367,8 +407,23 @@ def _trace_dense_tpu(mesh, origins, dirs, mode: int, active) -> TraceResult:
     if n_pad != n:
         o = jnp.pad(o, ((0, 0), (0, n_pad - n)))
         d = jnp.pad(d, ((0, 0), (0, n_pad - n)))
+    kwargs = {}
+    if not use_mxu:
+        # Per-block skip: inactive rays and rays missing the (padded) root
+        # AABB contribute nothing; 512-ray blocks with no contributing ray
+        # skip the tile sweep inside the kernel.
+        hit_box = _ray_hits_box(o, d, mesh.bvh_bounds_min[:, 0],
+                                mesh.bvh_bounds_max[:, 0])
+        if active is not None:
+            hit_box &= (jnp.pad(active, (0, n_pad - n)) if n_pad != n
+                        else active)
+        elif n_pad != n:
+            hit_box &= jnp.arange(n_pad) < n
+        kwargs["block_mask"] = jnp.any(
+            hit_box.reshape(-1, BLOCK_RAYS), axis=1).astype(jnp.int32)
     best_t, best_tri = trace_dense_pallas(o, d, tp, mode, t_pad // TRI_TILE,
-                                          interpret=pallas_interpret_requested())
+                                          interpret=pallas_interpret_requested(),
+                                          **kwargs)
     best_t = best_t[:n]
     best_tri = jnp.clip(best_tri[:n], 0, num_tris - 1)
     hit = best_t < 1e30

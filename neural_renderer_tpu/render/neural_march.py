@@ -278,10 +278,14 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         net_in = jnp.concatenate([norm_entry, norm_exit, norm_mid, dir01],
                                  axis=0)  # [12, K]
 
-        # 3. Fused encode + MLP (tcnn inference, :2025-2032).
+        # 3. Fused encode + MLP (tcnn inference, :2025-2032). active_b gates
+        # the kernel's per-block skip: on the camera peel only ~1/3 of rays
+        # are entry-active, and a compacted tier's tail blocks past `count`
+        # are all-dead — dead 128-ray blocks skip encode+MLP entirely.
         outputs = nbvh.apply(ctx.net_params, net_in, ctx.config,
                              compute_dtype=compute_dtype,
-                             use_kernel=True)  # [16, K]; inference-only path
+                             use_kernel=True,
+                             active=active_b)  # [16, K]; inference-only path
 
         # 4. Apply outputs (applySegmentNeuralOutputKernel :1007-1123).
         presence = outputs[0]

@@ -112,6 +112,26 @@ def test_kernel_parity_tpu(entry_pack):
     assert np.abs(out - ref).max() / scale < 2e-2
 
 
+@pytest.mark.parametrize("entry_pack", [1, 2])
+def test_kernel_block_skip_interpret(entry_pack):
+    """Per-block activity skip: active lanes match the unmasked kernel
+    exactly; 128-ray blocks with no active ray output zeros."""
+    cfg, params, x = _params_and_inputs(n=512, entry_pack=entry_pack)
+    active = np.zeros(512, bool)
+    active[130:170] = True    # block 1 partially active
+    active[384:512] = True    # block 3 fully active; blocks 0 and 2 dead
+    active = jnp.asarray(active)
+    full = np.asarray(forward_lane(params, x, cfg, interpret=True))
+    masked = np.asarray(forward_lane(params, x, cfg, interpret=True,
+                                     active=active))
+    # Blocks containing any active ray run the normal kernel body for ALL
+    # their lanes (skip granularity is the block, not the lane).
+    np.testing.assert_array_equal(masked[:, 128:256], full[:, 128:256])
+    np.testing.assert_array_equal(masked[:, 384:512], full[:, 384:512])
+    assert np.all(masked[:, 0:128] == 0.0)
+    assert np.all(masked[:, 256:384] == 0.0)
+
+
 def test_apply_use_kernel_dispatch_cpu():
     """use_kernel=True on a non-TPU platform must fall back to the XLA path
     (identical results) — the march always passes use_kernel=True."""
