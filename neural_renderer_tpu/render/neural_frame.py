@@ -110,6 +110,24 @@ def _bounce_stage_compacted(ctx, params, additional_mesh, use_additional,
             brdf_weight=jnp.zeros((3, k), jnp.float32),
             distance=jnp.take(rays.distance, idx, mode="clip"))
         hits_k, act_k = stage(rays_k, valid)
+        hit_full = miss.hit.at[idx].set(hits_k.hit & valid, mode="drop")
+        if not use_additional or additional_mesh.is_empty:
+            # Without a hybrid additional mesh every march hit carries the
+            # SAME global-material (metallic, roughness, specular) row
+            # (applySegmentNeuralOutputKernel semantics) — rebuild it from
+            # the scattered hit mask instead of scattering 3 more rows
+            # (TPU scatters cost several times the equivalent gathers).
+            from ..ops.linalg import vec3
+            from ..scene.materials import (P_METALLIC, P_ROUGHNESS,
+                                           P_SPECULAR)
+            mp = vec3(
+                jnp.broadcast_to(params.material_row[P_METALLIC], (n,)),
+                jnp.broadcast_to(params.material_row[P_ROUGHNESS], (n,)),
+                jnp.broadcast_to(params.material_row[P_SPECULAR], (n,)))
+            material_params = where3(hit_full, mp, 0.0)
+        else:
+            material_params = miss.material_params.at[:, idx].set(
+                where3(valid, hits_k.material_params, 0.0), mode="drop")
         hits = pt.HitState(
             position=miss.position.at[:, idx].set(
                 where3(valid, hits_k.position, 0.0), mode="drop"),
@@ -117,9 +135,8 @@ def _bounce_stage_compacted(ctx, params, additional_mesh, use_additional,
                 where3(valid, hits_k.normal, 0.0), mode="drop"),
             albedo=miss.albedo.at[:, idx].set(
                 where3(valid, hits_k.albedo, 0.0), mode="drop"),
-            material_params=miss.material_params.at[:, idx].set(
-                where3(valid, hits_k.material_params, 0.0), mode="drop"),
-            hit=miss.hit.at[idx].set(hits_k.hit & valid, mode="drop"),
+            material_params=material_params,
+            hit=hit_full,
             distance=miss.distance.at[idx].set(
                 jnp.where(valid, hits_k.distance, 0.0), mode="drop"))
         active = jnp.zeros((n,), bool).at[idx].set(act_k & valid, mode="drop")
