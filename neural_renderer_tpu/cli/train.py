@@ -51,7 +51,7 @@ def main(argv=None) -> int:
     from ..scene.scene import Scene
     from ..train import (TrainConfig, export_reference_blob, init_train_state,
                          make_train_step, restore_checkpoint, save_checkpoint,
-                         segment_domain)
+                         scene_global_row, segment_domain)
 
     cfg = load_config(args.config)
     scene = Scene.from_config(cfg, sphere_fallback=False)
@@ -88,7 +88,8 @@ def main(argv=None) -> int:
               f"({jax.devices()[0].platform})")
 
     step_fn = make_train_step(tcfg, net_config, gt, outer, inner,
-                              omin, inv_extent, radius, mesh=mesh)
+                              omin, inv_extent, radius, mesh=mesh,
+                              global_row=scene_global_row(scene))
 
     key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.monotonic()

@@ -117,7 +117,7 @@ class LiveTrainer:
 
         from ..train import (TrainConfig, init_train_state, make_optimizer,
                              make_train_step, restore_checkpoint,
-                             segment_domain)
+                             scene_global_row, segment_domain)
 
         self.renderer = renderer
         self.steps_per_frame = steps_per_frame
@@ -144,7 +144,7 @@ class LiveTrainer:
         # between steps; donating them would delete the buffers under it.
         self.step_fn = make_train_step(
             tcfg, renderer.net_config, gt, outer, inner, omin, inv_extent,
-            radius, donate=False)
+            radius, donate=False, global_row=scene_global_row(scene))
         self.key = jax.random.PRNGKey(seed + 1)
         self._tcfg = tcfg
 

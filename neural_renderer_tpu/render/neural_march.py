@@ -367,17 +367,16 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
         return (found, hit_pos, normal, color, distance, can_continue,
                 new_entry, new_accum)
 
-    mat_params_row = vec3(
-        jnp.broadcast_to(params.material_row[P_METALLIC], (n,)),
-        jnp.broadcast_to(params.material_row[P_ROUGHNESS], (n,)),
-        jnp.broadcast_to(params.material_row[P_SPECULAR], (n,)))
-
     def merge_out(out, found, hit_pos, normal, color, distance):
+        # material_params is the SAME global-material row for every march
+        # hit (applySegmentNeuralOutputKernel semantics) — not carried
+        # through the loop; reconstructed from the final hit mask after it
+        # (3 fewer gather+scatter rows per compacted iteration).
         return HitState(
             position=where3(found, hit_pos, out.position),
             normal=where3(found, normal, out.normal),
             albedo=where3(found, color, out.albedo),
-            material_params=where3(found, mat_params_row, out.material_params),
+            material_params=out.material_params,
             hit=out.hit | found,
             distance=jnp.where(found, distance, out.distance),
         )
@@ -433,10 +432,7 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
                     where3(found, color,
                            jnp.take(out.albedo, idx, axis=1, mode="clip")),
                     mode="drop"),
-                material_params=out.material_params.at[:, idx].set(
-                    where3(found, jnp.take(mat_params_row, idx, axis=1, mode="clip"),
-                           jnp.take(out.material_params, idx, axis=1, mode="clip")),
-                    mode="drop"),
+                material_params=out.material_params,
                 hit=out.hit.at[idx].set(
                     jnp.take(out.hit, idx, mode="clip") | found, mode="drop"),
                 distance=out.distance.at[idx].set(
@@ -503,7 +499,13 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
     else:
         state = (jnp.int32(0), active, entry_pos, accum_t, out_hit)
     _, _, _, _, out_hit = jax.lax.while_loop(cond, body, state)
-    return out_hit
+    mat_params_row = vec3(
+        jnp.broadcast_to(params.material_row[P_METALLIC], (n,)),
+        jnp.broadcast_to(params.material_row[P_ROUGHNESS], (n,)),
+        jnp.broadcast_to(params.material_row[P_SPECULAR], (n,)))
+    return out_hit._replace(
+        material_params=where3(out_hit.hit, mat_params_row,
+                               out_hit.material_params))
 
 
 def bounce_shell_entry_and_early_term(ctx: NeuralContext, rays, path_active,

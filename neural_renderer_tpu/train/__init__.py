@@ -10,5 +10,6 @@ from .trainer import (
     make_train_step_on_batch,
     restore_checkpoint,
     save_checkpoint,
+    scene_global_row,
     segment_domain,
 )

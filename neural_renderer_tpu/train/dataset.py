@@ -37,7 +37,8 @@ class SegmentBatch(NamedTuple):
 
 def sample_segment_batch(key, gt_mesh, outer, inner, outer_min, outer_inv_extent,
                          batch_size: int, radius: float,
-                         segments_per_ray: int = 1) -> SegmentBatch:
+                         segments_per_ray: int = 1,
+                         global_row=None) -> SegmentBatch:
     """Generate one batch of supervised shell segments.
 
     Rays: origins uniform on a sphere of `radius` around the shell, directions
@@ -64,9 +65,14 @@ def sample_segment_batch(key, gt_mesh, outer, inner, outer_min, outer_inv_extent
     d = target - o
     d = d / jnp.linalg.norm(d, axis=0, keepdims=True)
 
-    from ..scene.materials import Material
-    import numpy as _np
-    global_row = jnp.asarray(_np.asarray(Material.default().scalar_row()))
+    if global_row is None:
+        # Callers SHOULD pass the scene's global-material row (the renderer
+        # resolves material_id < 0 hits against params.material_row, which
+        # carries the config's MaterialConfig — the color supervision must
+        # match it or untextured meshes train to the wrong albedo).
+        from ..scene.materials import Material
+        import numpy as _np
+        global_row = jnp.asarray(_np.asarray(Material.default().scalar_row()))
     omin = outer_min[:, None]
     inv = outer_inv_extent[:, None]
     zero3 = jnp.zeros((3, rays), jnp.float32)

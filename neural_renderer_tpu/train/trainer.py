@@ -50,6 +50,17 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def scene_global_row(scene):
+    """The scene's global-material scalar row as a device array — what the
+    renderer resolves material_id < 0 hits against (params.material_row), so
+    the one the sampler's color supervision must use. A mismatch trains the
+    color head to the wrong albedo on untextured meshes (found on the knot
+    scene: the default 0.8-grey row coincided with the sphere config's
+    base_color, hiding the bug in round 1)."""
+    return jnp.asarray(np.asarray(scene.global_material.scalar_row()),
+                       jnp.float32)
+
+
 def segment_domain(scene):
     """The shell network's sampling domain for a scene: (outer_shell_min,
     outer_shell_inv_extent) as f32 device arrays + the segment-sampling
@@ -90,18 +101,21 @@ def loss_fn(params, batch, net_config, compute_dtype):
 def make_train_step(cfg: TrainConfig, net_config: nbvh.NbvhConfig,
                     gt_mesh, outer, inner, outer_min, outer_inv_extent,
                     radius: float, donate: bool = True, mesh=None,
-                    dp_axis: str = "dp"):
+                    dp_axis: str = "dp", global_row=None):
     """Build the jitted (state, key) -> (state, metrics) step: sample a fresh
     segment batch on-device, compute grads, Adam update. With `mesh`, the
     sampled batch is sharding-constrained across `dp_axis` so sampling + loss
-    run data-parallel (pair with parallel.shard_train_state for tp)."""
+    run data-parallel (pair with parallel.shard_train_state for tp).
+    global_row: the scene's global-material scalar row (see
+    scene_global_row) — the albedo supervision for material_id < 0 hits."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     opt = make_optimizer(cfg)
 
     def step(state: TrainState, key) -> tuple[TrainState, dict]:
         batch = sample_segment_batch(key, gt_mesh, outer, inner, outer_min,
                                      outer_inv_extent, cfg.batch_size, radius,
-                                     segments_per_ray=cfg.segments_per_ray)
+                                     segments_per_ray=cfg.segments_per_ray,
+                                     global_row=global_row)
         if mesh is not None:
             from ..parallel.shardings import constrain_batch_dp
             batch = constrain_batch_dp(batch, mesh, dp_axis)

@@ -26,6 +26,28 @@ def _shell_setup():
     return gt, outer, inner, jnp.asarray(omin), jnp.asarray(inv)
 
 
+def test_segment_batch_global_material_color():
+    """Color supervision for material_id < 0 hits must come from the SCENE's
+    global-material row (what the renderer resolves against), not the default
+    material — regression for the knot scene rendering grey (the sphere
+    config's 0.8-grey base_color coincided with the default and hid this)."""
+    from neural_renderer_tpu.scene.materials import (Material,
+                                                     MaterialParamVec3)
+    gt, outer, inner, omin, inv = _shell_setup()
+    mat = Material.default()
+    mat.base_color = MaterialParamVec3.constant((0.85, 0.55, 0.25))
+    row = jnp.asarray(np.asarray(mat.scalar_row()), jnp.float32)
+    batch = jax.jit(lambda k: sample_segment_batch(
+        k, gt, outer, inner, omin, inv, 512, radius=3.0,
+        global_row=row))(jax.random.PRNGKey(0))
+    hit = np.asarray(batch.valid) & (np.asarray(batch.presence) > 0.5)
+    assert hit.sum() > 10
+    color = np.asarray(batch.color)[:, hit]
+    np.testing.assert_allclose(color[0], 0.85, atol=1e-6)
+    np.testing.assert_allclose(color[1], 0.55, atol=1e-6)
+    np.testing.assert_allclose(color[2], 0.25, atol=1e-6)
+
+
 def test_segment_batch_supervision():
     gt, outer, inner, omin, inv = _shell_setup()
     batch = jax.jit(lambda k: sample_segment_batch(
