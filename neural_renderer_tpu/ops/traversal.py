@@ -550,9 +550,14 @@ def _trace_two_level(mesh, origins, dirs, mode: int, active) -> TraceResult:
     order = _ray_sort_order(origins, dirs, active)
     inv = jnp.zeros((n,), order.dtype).at[order].set(
         jnp.arange(n, dtype=order.dtype))
-    o_s = jnp.take(origins, order, axis=1)
-    d_s = jnp.take(dirs, order, axis=1)
-    act_s = jnp.take(active, order) if active is not None else None
+    # ONE packed gather for the permute (per-index overhead dominates —
+    # scripts/bench_gather_pack.py measured 5.5x for packed windows).
+    rows = [origins, dirs]
+    if active is not None:
+        rows.append(active[None, :].astype(jnp.float32))
+    ps = jnp.take(jnp.concatenate(rows, axis=0), order, axis=1)
+    o_s, d_s = ps[0:3], ps[3:6]
+    act_s = (ps[6] > 0.0) if active is not None else None
 
     if n > _CHUNK_RAYS:
         m = -(-n // _CHUNK_RAYS)
@@ -572,9 +577,14 @@ def _trace_two_level(mesh, origins, dirs, mode: int, active) -> TraceResult:
         res = TraceResult(*(x.reshape(-1)[:n] for x in res))
     else:
         res = _trace_two_level_impl(mesh, o_s, d_s, mode, act_s)
-    return TraceResult(t=jnp.take(res.t, inv), tri=jnp.take(res.tri, inv),
-                       u=jnp.take(res.u, inv), v=jnp.take(res.v, inv),
-                       hit=jnp.take(res.hit, inv))
+    # Un-permute all 5 result rows through ONE packed gather (bitcast keeps
+    # tri exact; bool survives the f32 round trip as 0.0/1.0).
+    pr = jnp.take(jnp.stack(
+        [res.t, jax.lax.bitcast_convert_type(res.tri, jnp.float32),
+         res.u, res.v, res.hit.astype(jnp.float32)], axis=0), inv, axis=1)
+    return TraceResult(t=pr[0],
+                       tri=jax.lax.bitcast_convert_type(pr[1], jnp.int32),
+                       u=pr[2], v=pr[3], hit=pr[4] > 0.0)
 
 
 def _trace_two_level_impl(mesh, origins, dirs, mode: int, active) -> TraceResult:

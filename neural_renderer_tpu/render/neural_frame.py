@@ -92,25 +92,40 @@ def _bounce_stage_compacted(ctx, params, additional_mesh, use_additional,
         # slots and per-ray math is order-independent -> results unchanged.
         (idx0,) = jnp.nonzero(mask, size=k, fill_value=n)
         valid0 = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0] < count
-        o_k = jnp.take(rays.origin, idx0, axis=1, mode="clip")
-        d_k = jnp.take(rays.direction, idx0, axis=1, mode="clip")
-        order_k = traversal._ray_sort_order(o_k, d_k, valid0)
+        # ONE packed gather for all 8 prefix rows (measured 5.5x the cost of
+        # per-array gathers at this k: per-index overhead dominates, so more
+        # rows per window are nearly free — scripts/bench_gather_pack.py).
+        packed = jnp.concatenate(
+            [rays.origin, rays.direction, rays.pdf[None, :],
+             rays.distance[None, :]], axis=0)                   # [8, n]
+        pk = jnp.take(packed, idx0, axis=1, mode="clip")        # [8, k]
+        order_k = traversal._ray_sort_order(pk[0:3], pk[3:6], valid0)
         idx = jnp.take(idx0, order_k)
+        pk = jnp.take(pk, order_k, axis=1)
         slot = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
         valid = slot < count
         rays_k = pt.BounceRays(
-            # o_k/d_k are already gathered; permuting the k-wide buffers is
-            # identical to re-gathering the full batch through idx.
-            origin=jnp.take(o_k, order_k, axis=1),
-            direction=jnp.take(d_k, order_k, axis=1),
-            pdf=jnp.where(valid, jnp.take(rays.pdf, idx, mode="clip"), 0.0),
+            origin=pk[0:3],
+            direction=pk[3:6],
+            pdf=jnp.where(valid, pk[6], 0.0),
             # brdf_weight is consumed only by the FULL-BATCH integrator after
             # the stage (integrate_bounce); the stage itself never reads it —
             # skip gathering those 3 rows.
             brdf_weight=jnp.zeros((3, k), jnp.float32),
-            distance=jnp.take(rays.distance, idx, mode="clip"))
+            distance=pk[7])
         hits_k, act_k = stage(rays_k, valid)
-        hit_full = miss.hit.at[idx].set(hits_k.hit & valid, mode="drop")
+
+        # Scatter-back as per-ROW [1,1]-window scatters: measured ~6x the
+        # throughput of [3,1]-window column scatters (bench_gather_pack2.py).
+        # Invalid slots carry idx == n (nonzero fill survives the sort: their
+        # keys are int32 max) and drop.
+        def srow(vals):
+            return jnp.zeros((n,), vals.dtype).at[idx].set(vals, mode="drop")
+
+        def srows3(a):
+            return jnp.stack([srow(a[0]), srow(a[1]), srow(a[2])], axis=0)
+
+        hit_full = srow(hits_k.hit & valid)
         if not use_additional or additional_mesh.is_empty:
             # Without a hybrid additional mesh every march hit carries the
             # SAME global-material (metallic, roughness, specular) row
@@ -126,20 +141,15 @@ def _bounce_stage_compacted(ctx, params, additional_mesh, use_additional,
                 jnp.broadcast_to(params.material_row[P_SPECULAR], (n,)))
             material_params = where3(hit_full, mp, 0.0)
         else:
-            material_params = miss.material_params.at[:, idx].set(
-                where3(valid, hits_k.material_params, 0.0), mode="drop")
+            material_params = srows3(hits_k.material_params)
         hits = pt.HitState(
-            position=miss.position.at[:, idx].set(
-                where3(valid, hits_k.position, 0.0), mode="drop"),
-            normal=miss.normal.at[:, idx].set(
-                where3(valid, hits_k.normal, 0.0), mode="drop"),
-            albedo=miss.albedo.at[:, idx].set(
-                where3(valid, hits_k.albedo, 0.0), mode="drop"),
+            position=srows3(hits_k.position),
+            normal=srows3(hits_k.normal),
+            albedo=srows3(hits_k.albedo),
             material_params=material_params,
             hit=hit_full,
-            distance=miss.distance.at[idx].set(
-                jnp.where(valid, hits_k.distance, 0.0), mode="drop"))
-        active = jnp.zeros((n,), bool).at[idx].set(act_k & valid, mode="drop")
+            distance=srow(jnp.where(valid, hits_k.distance, 0.0)))
+        active = srow(act_k & valid)
         return hits, active
 
     def dead(_):

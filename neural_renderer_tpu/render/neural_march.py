@@ -410,39 +410,49 @@ def trace_neural_segments(ctx: NeuralContext, params, origins, dirs,
             slot = jax.lax.broadcasted_iota(jnp.int32, (k_cap, 1), 0)[:, 0]
             valid = slot < count
 
-            dirs_k = jnp.take(dirs, idx, axis=1, mode="clip")
-            entry_k = jnp.take(entry_pos, idx, axis=1, mode="clip")
-            accum_k = jnp.take(accum_t, idx, mode="clip")
+            # ONE packed gather for the 7 state rows (per-index overhead
+            # dominates gather cost — scripts/bench_gather_pack.py).
+            packed = jnp.concatenate(
+                [dirs, entry_pos, accum_t[None, :]], axis=0)      # [7, n]
+            pk = jnp.take(packed, idx, axis=1, mode="clip")
+            dirs_k, entry_k, accum_k = pk[0:3], pk[3:6], pk[6]
 
             (found, hit_pos, normal, color, distance, new_active, new_entry,
              new_accum) = segment_step(dirs_k, entry_k, valid, accum_k)
             found &= valid
             new_active &= valid
 
+            # Scatter-back: per-ROW [1,1]-window writes (~6x the [3,1]
+            # column-window throughput, bench_gather_pack2.py), and
+            # write-only-where-changed index masking — a lane that didn't
+            # find/continue redirects its index out of range and DROPS,
+            # which both halves the scatters and removes the five fallback
+            # re-gathers of the prior values.
+            fidx = jnp.where(found, idx, n)
+            vidx = jnp.where(valid, idx, n)
+            cidx = jnp.where(new_active, idx, n)
+
+            def srow(dst, i, vals):
+                return dst.at[i].set(vals, mode="drop")
+
+            def srows3(dst, i, vals):
+                return jnp.stack([srow(dst[0], i, vals[0]),
+                                  srow(dst[1], i, vals[1]),
+                                  srow(dst[2], i, vals[2])], axis=0)
+
             out = HitState(
-                position=out.position.at[:, idx].set(
-                    where3(found, hit_pos,
-                           jnp.take(out.position, idx, axis=1, mode="clip")),
-                    mode="drop"),
-                normal=out.normal.at[:, idx].set(
-                    where3(found, normal,
-                           jnp.take(out.normal, idx, axis=1, mode="clip")),
-                    mode="drop"),
-                albedo=out.albedo.at[:, idx].set(
-                    where3(found, color,
-                           jnp.take(out.albedo, idx, axis=1, mode="clip")),
-                    mode="drop"),
+                position=srows3(out.position, fidx, hit_pos),
+                normal=srows3(out.normal, fidx, normal),
+                albedo=srows3(out.albedo, fidx, color),
                 material_params=out.material_params,
-                hit=out.hit.at[idx].set(
-                    jnp.take(out.hit, idx, mode="clip") | found, mode="drop"),
-                distance=out.distance.at[idx].set(
-                    jnp.where(found, distance,
-                              jnp.take(out.distance, idx, mode="clip")),
-                    mode="drop"),
+                hit=srow(out.hit, fidx, jnp.ones((k_cap,), bool)),
+                distance=srow(out.distance, fidx, distance),
             )
-            active2 = active.at[idx].set(new_active, mode="drop")
-            entry2 = entry_pos.at[:, idx].set(new_entry, mode="drop")
-            accum2 = accum_t.at[idx].set(new_accum, mode="drop")
+            # active must flip True->False for resolved/exhausted lanes:
+            # write new_active on every valid lane.
+            active2 = srow(active, vidx, new_active)
+            entry2 = srows3(entry_pos, cidx, new_entry)
+            accum2 = srow(accum_t, cidx, new_accum)
             return active2, entry2, accum2, out
 
         operand = (active, entry_pos, accum_t, out)
