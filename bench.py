@@ -122,6 +122,22 @@ def make_frame_fn(device, width, height, spp, bounces, compute_dtype):
         outer_shell_min=omin, outer_shell_inv_extent=1.0 / (omax - omin))
     params = put(params)
 
+    if os.environ.get("BENCH_MODE", "neural") == "gt":
+        # Ground-truth branch: classic path trace of the original mesh
+        # (intersectGroundTruthKernel + bounce loop semantics).
+        from neural_renderer_tpu.render.pathtrace import render_gt_frame
+        orig_a = put(original.to_arrays())
+        gt_frame = jax.jit(render_gt_frame, donate_argnums=(3,))
+
+        def run(accum, sample_offset):
+            p = dataclasses.replace(params,
+                                    sample_offset=jnp.uint32(sample_offset))
+            return gt_frame(orig_a, env, p, accum)
+
+        accum0 = jax.device_put(jnp.zeros((3, width * height), jnp.float32),
+                                device)
+        return run, accum0
+
     frame = jax.jit(
         render_neural_frame,
         static_argnames=("use_additional", "compute_dtype"),
@@ -233,8 +249,9 @@ def main():
     extra = f"+add{add_tris}" if add_tris else ""
     if os.environ.get("BENCH_SCENE", "sphere") != "sphere":
         extra += f" {os.environ['BENCH_SCENE']}"
+    mode = "gt" if os.environ.get("BENCH_MODE", "neural") == "gt" else "neural"
     print(json.dumps({
-        "metric": f"neural render Mrays/s @ {width}x{height} spp{spp} b{bounces} {grid}{extra} ({accel.platform})",
+        "metric": f"{mode} render Mrays/s @ {width}x{height} spp{spp} b{bounces} {grid}{extra} ({accel.platform})",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs_baseline, 3),
