@@ -120,3 +120,25 @@ def test_quality_thresholds(capsys):
     assert psnr and flip, f"evaluate did not report metrics:\n{out[-500:]}"
     assert float(psnr.group(1)) >= 45.5
     assert float(flip.group(1)) <= 0.018
+
+
+@pytest.mark.skipif(os.environ.get("RUN_QUALITY") != "1",
+                    reason="opt-in quality gate (RUN_QUALITY=1): renders "
+                           "64 spp at 480x270 against the 65k-tri knot")
+def test_quality_thresholds_knot(capsys):
+    """Stress-scene gate: non-convex shells + clustered tracing + the
+    trained lane checkpoint (recorded 40.32 dB / 0.0184 FLIP, BASELINE.md)
+    minus noise margin. Also pins the global-material color supervision —
+    an untrained/grey-supervised color head scores ~20 dB here."""
+    import re
+    from neural_renderer_tpu.cli import evaluate as eval_cli
+    rc = eval_cli.main([os.path.join(os.path.dirname(GOLDEN_DIR), os.pardir,
+                                     "configs", "knot", "knot_lane.json"),
+                        "--width", "480", "--height", "270"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    psnr = re.search(r"PSNR: ([0-9.]+) dB", out)
+    flip = re.search(r"FLIP: ([0-9.]+) \(mean\)", out)
+    assert psnr and flip, f"evaluate did not report metrics:\n{out[-500:]}"
+    assert float(psnr.group(1)) >= 39.0
+    assert float(flip.group(1)) <= 0.021
