@@ -148,101 +148,41 @@ def _block_cluster_mask(origins, dirs, cluster_bounds, active,
 # Level 1: streaming kernel (one grid step per ray block)
 # ---------------------------------------------------------------------------
 
-def _sweep_cluster(cluster, o_ref, d_ref, tri_ref, out_ref, mode: int,
+def _sweep_cluster(cluster, o_ref, d_ref, tri_ref, bt, btri, mode: int,
                    base=0, mxu: bool = False):
     """Register-tiled Moeller-Trumbore of one ray block against one cluster;
-    accumulates best-t/tri into out_ref. tri_ref is either a DMA'd scratch
-    tile (base=0) or the whole VMEM-resident triangle array (base = the
-    cluster's column offset). With mxu, the pair math runs as matmuls
-    (ops/trace_mxu.py bilinear factorization) instead of the VPU loop."""
+    folds into the PER-LANE best (t, tri id) accumulators [BLOCK_RAYS,
+    TRI_TILE] and returns them (the caller lane-reduces once per block —
+    per-tile reductions were ~1/3 of kernel time). tri_ref is either a DMA'd
+    scratch tile (base=0) or the whole VMEM-resident triangle array (base =
+    the cluster's column offset). With mxu, the pair math runs as matmuls
+    (ops/trace_mxu.py bilinear factorization) instead of the VPU loop.
+    Tie-break: smallest triangle index among equal-t hits (strict `<` per
+    lane keeps the earliest tile; the final min-over-lanes picks the smallest
+    id), which matches the brute-force oracle's argmin-first semantics."""
+    from .trace_pallas import _mt_tile_t
     if mxu:
         from .trace_mxu import _pair_eval, ray_features
         F = ray_features(o_ref[:, :], d_ref[:, :])
-        best_t = out_ref[0, :]
-        best_tri = jax.lax.bitcast_convert_type(out_ref[1, :], jnp.int32)
-        for tile in range(CLUSTER_SIZE // TRI_TILE):
-            tb = tri_ref[:, pl.ds(base + tile * TRI_TILE, TRI_TILE)]
-            t, ok = _pair_eval(F, tb, mode)
-            t = jnp.where(ok & (t > MIN_T), t, 1e30)
-            tc = jnp.min(t, axis=1)
-            tids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            ci = jnp.min(jnp.where(t <= tc[:, None], tids, TRI_TILE), axis=1)
-            better = tc < best_t
-            best_t = jnp.where(better, tc, best_t)
-            best_tri = jnp.where(
-                better, cluster * CLUSTER_SIZE + tile * TRI_TILE + ci,
-                best_tri)
-        out_ref[0, :] = best_t
-        out_ref[1, :] = jax.lax.bitcast_convert_type(best_tri, jnp.float32)
-        return
-
-    ox = o_ref[0, :][:, None]
-    oy = o_ref[1, :][:, None]
-    oz = o_ref[2, :][:, None]
-    dx = d_ref[0, :][:, None]
-    dy = d_ref[1, :][:, None]
-    dz = d_ref[2, :][:, None]
-
-    best_t = out_ref[0, :]
-    best_tri = jax.lax.bitcast_convert_type(out_ref[1, :], jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_RAYS, TRI_TILE), 1)
 
     for tile in range(CLUSTER_SIZE // TRI_TILE):
         tb = tri_ref[:, pl.ds(base + tile * TRI_TILE, TRI_TILE)]
-        v0x = tb[0, :][None, :]
-        v0y = tb[1, :][None, :]
-        v0z = tb[2, :][None, :]
-        e1x = tb[3, :][None, :]
-        e1y = tb[4, :][None, :]
-        e1z = tb[5, :][None, :]
-        e2x = tb[6, :][None, :]
-        e2y = tb[7, :][None, :]
-        e2z = tb[8, :][None, :]
-
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        ok = jnp.abs(det) >= TRI_EPSILON
-        inv_det = 1.0 / jnp.where(ok, det, 1.0)
-
-        tx = ox - v0x
-        ty = oy - v0y
-        tz = oz - v0z
-        u = (tx * px + ty * py + tz * pz) * inv_det
-        ok &= (u >= 0.0) & (u <= 1.0)
-
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        ok &= (v >= 0.0) & (u + v <= 1.0)
-
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok &= t > TRI_EPSILON
-
-        if mode != 0:
-            nx = e1y * e2z - e1z * e2y
-            ny = e1z * e2x - e1x * e2z
-            nz = e1x * e2y - e1y * e2x
-            facing = nx * dx + ny * dy + nz * dz
-            if mode == 1:
-                ok &= facing < 0.0
-            else:
-                ok &= facing > 0.0
-
-        t = jnp.where(ok & (t > MIN_T), t, 1e30)
-        tc = jnp.min(t, axis=1)
-        tids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        ci = jnp.min(jnp.where(t <= tc[:, None], tids, TRI_TILE), axis=1)
-
-        better = tc < best_t
-        best_t = jnp.where(better, tc, best_t)
-        best_tri = jnp.where(
-            better, cluster * CLUSTER_SIZE + tile * TRI_TILE + ci,
-            best_tri)
-
-    out_ref[0, :] = best_t
-    out_ref[1, :] = jax.lax.bitcast_convert_type(best_tri, jnp.float32)
+        if mxu:
+            t, ok = _pair_eval(F, tb, mode)
+            t = jnp.where(ok & (t > MIN_T), t, 1e30)
+        else:
+            t, det = _mt_tile_t(o_ref, d_ref, tb)
+            if mode == 1:    # FORWARD_ONLY: facing < 0 == det > 0
+                t = jnp.where(det > 0.0, t, 1e30)
+            elif mode == 2:  # BACKWARD_ONLY
+                t = jnp.where(det < 0.0, t, 1e30)
+        better = t < bt
+        btri = jnp.where(better,
+                         cluster * CLUSTER_SIZE + tile * TRI_TILE + lane,
+                         btri)
+        bt = jnp.where(better, t, bt)
+    return bt, btri
 
 
 STREAM_K = 1024  # per-block worklist capacity (= the 1D DMA row stride)
@@ -308,8 +248,8 @@ def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_ref, o_ref, d_ref,
                                  row_sem.at[1])
     row1.start()
     row2.start()
-    out_ref[0, :] = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
-    out_ref[1, :] = jnp.zeros((BLOCK_RAYS,), jnp.float32)
+    big = jnp.full((BLOCK_RAYS, TRI_TILE), 1e30, jnp.float32)
+    tri0 = jnp.zeros((BLOCK_RAYS, TRI_TILE), jnp.int32)
     row1.wait()
     row2.wait()
 
@@ -319,22 +259,22 @@ def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_ref, o_ref, d_ref,
             tile_v, tile_sem)
 
     def cond(state):
-        j, go = state
-        return go
+        return state[1]
 
     def body(state):
-        j, _ = state
+        j, _, bt, btri = state
         if resident:
             # Triangles live whole in VMEM: slice tiles directly — no DMA,
             # ~4x cheaper per cluster (measured round 2, BASELINE.md).
-            _sweep_cluster(ids_s[j], o_ref, d_ref, tris_ref, out_ref, mode,
-                           base=ids_s[j] * CLUSTER_SIZE, mxu=mxu)
+            bt, btri = _sweep_cluster(ids_s[j], o_ref, d_ref, tris_ref,
+                                      bt, btri, mode,
+                                      base=ids_s[j] * CLUSTER_SIZE, mxu=mxu)
         else:
             dma = tile_dma(ids_s[j])
             dma.start()
             dma.wait()
-            _sweep_cluster(ids_s[j], o_ref, d_ref, tile_v, out_ref, mode,
-                           mxu=mxu)
+            bt, btri = _sweep_cluster(ids_s[j], o_ref, d_ref, tile_v,
+                                      bt, btri, mode, mxu=mxu)
         nj = j + 1
         # Front-to-back early-out — a real BREAK, unlike the grid-step
         # kernels' predication. Each ray's contribution to the block bound
@@ -343,11 +283,17 @@ def _stream_kernel(counts_ref, ids_hbm, tmin_hbm, tris_ref, o_ref, d_ref,
         # its bbox exit, so it must not poison the bound. The margin keeps
         # the prune conservative under FP reassociation between the slab
         # entry-t and the Moeller-Trumbore t.
-        bound = jnp.max(jnp.minimum(out_ref[0, :], exit_ref[0, :]))
+        bound = jnp.max(jnp.minimum(jnp.min(bt, axis=1), exit_ref[0, :]))
         go = (nj < cnt) & (bound > tmin_s[nj] * (1.0 - 1e-4) - 1e-4)
-        return nj, go
+        return nj, go, bt, btri
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), cnt > 0))
+    _, _, bt, btri = jax.lax.while_loop(cond, body,
+                                        (jnp.int32(0), cnt > 0, big, tri0))
+    best_t = jnp.min(bt, axis=1)
+    best_tri = jnp.min(jnp.where(bt <= best_t[:, None], btri,
+                                 jnp.int32(2147483647)), axis=1)
+    out_ref[0, :] = best_t
+    out_ref[1, :] = jax.lax.bitcast_convert_type(best_tri, jnp.float32)
 
 
 # Triangle arrays at or below this VMEM-resident budget are passed whole to
@@ -439,155 +385,97 @@ def _trace_clusters_stream(origins, dirs, tris_packed, ids, tmins, counts,
 
 
 def _sweep4_cluster(cluster, outer_clusters: int, o_ref, d_ref, tri_ref,
-                    out_ref, base=0, with_fwd2=True, mxu: bool = False):
+                    state, base=0, with_fwd2=True, mxu: bool = False):
     """t-only dual-facing Moeller-Trumbore of one ray block against one
-    cluster; folds mins into out_ref rows (of, ob, if, ib, of2 = second
-    outer forward). tri_ref/base as in _sweep_cluster. With mxu, the pair
-    math runs as matmuls (ops/trace_mxu.py); forward/backward split comes
-    from det's sign (facing = -det)."""
+    cluster; folds into the PER-LANE accumulator state (m1f, m2f, m1b, i1f,
+    i1b), each [BLOCK_RAYS, TRI_TILE] — outer forward strict two-min pair,
+    outer backward min, inner forward/backward mins. The caller lane-reduces
+    once per block (trace_pallas._lane_pair_reduce). tri_ref/base as in
+    _sweep_cluster. With mxu, the pair math runs as matmuls
+    (ops/trace_mxu.py); either way forward/backward come from det's sign
+    (facing = -det)."""
+    from .trace_pallas import _mt_tile_t, _strict_pair_update
+    m1f, m2f, m1b, i1f, i1b = state
     if mxu:
         from .trace_mxu import pair_eval_raw, ray_features
         F = ray_features(o_ref[:, :], d_ref[:, :])
-        t_fwd = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
-        t_bwd = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
-        t_fwd2 = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
-        for tile in range(CLUSTER_SIZE // TRI_TILE):
-            tb = tri_ref[:, pl.ds(base + tile * TRI_TILE, TRI_TILE)]
-            t, ok, det = pair_eval_raw(F, tb)
-            valid = ok & (t > MIN_T)
-            tf = jnp.where(valid & (det > 0.0), t, 1e30)
-            tile_fwd = jnp.min(tf, axis=1)
-            if with_fwd2:
-                tile_fwd2 = jnp.min(
-                    jnp.where(tf > tile_fwd[:, None], tf, 1e30), axis=1)
-                t_fwd2 = jnp.minimum(jnp.maximum(t_fwd, tile_fwd),
-                                     jnp.minimum(t_fwd2, tile_fwd2))
-            t_fwd = jnp.minimum(t_fwd, tile_fwd)
-            t_bwd = jnp.minimum(
-                t_bwd,
-                jnp.min(jnp.where(valid & (det < 0.0), t, 1e30), axis=1))
-        _sweep4_fold(cluster, outer_clusters, out_ref, t_fwd, t_bwd, t_fwd2,
-                     with_fwd2)
-        return
 
-    ox = o_ref[0, :][:, None]
-    oy = o_ref[1, :][:, None]
-    oz = o_ref[2, :][:, None]
-    dx = d_ref[0, :][:, None]
-    dy = d_ref[1, :][:, None]
-    dz = d_ref[2, :][:, None]
-
-    t_fwd = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
-    t_bwd = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
-    t_fwd2 = jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
-
+    # Cluster-local per-lane accumulation (strict pair for fwd when fwd2 is
+    # tracked), merged into the outer or inner rows ONCE per cluster — the
+    # cluster id is dynamic (worklist), so the is_outer select can't be
+    # hoisted to a static loop split like the dense kernel's.
+    big = jnp.full((BLOCK_RAYS, TRI_TILE), 1e30, jnp.float32)
+    lf1, lf2, lb1 = big, big, big
     for tile in range(CLUSTER_SIZE // TRI_TILE):
         tb = tri_ref[:, pl.ds(base + tile * TRI_TILE, TRI_TILE)]
-        v0x = tb[0, :][None, :]
-        v0y = tb[1, :][None, :]
-        v0z = tb[2, :][None, :]
-        e1x = tb[3, :][None, :]
-        e1y = tb[4, :][None, :]
-        e1z = tb[5, :][None, :]
-        e2x = tb[6, :][None, :]
-        e2y = tb[7, :][None, :]
-        e2z = tb[8, :][None, :]
-
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        ok = jnp.abs(det) >= TRI_EPSILON
-        inv_det = 1.0 / jnp.where(ok, det, 1.0)
-
-        tx = ox - v0x
-        ty = oy - v0y
-        tz = oz - v0z
-        u = (tx * px + ty * py + tz * pz) * inv_det
-        ok &= (u >= 0.0) & (u <= 1.0)
-
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        ok &= (v >= 0.0) & (u + v <= 1.0)
-
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok &= (t > TRI_EPSILON) & (t > MIN_T)
-
-        nx = e1y * e2z - e1z * e2y
-        ny = e1z * e2x - e1x * e2z
-        nz = e1x * e2y - e1y * e2x
-        facing = nx * dx + ny * dy + nz * dz
-
-        tf = jnp.where(ok & (facing < 0.0), t, 1e30)
-        tile_fwd = jnp.min(tf, axis=1)
+        if mxu:
+            t, ok, det = pair_eval_raw(F, tb)
+            t = jnp.where(ok & (t > MIN_T), t, 1e30)
+        else:
+            t, det = _mt_tile_t(o_ref, d_ref, tb)
+        tf = jnp.where(det > 0.0, t, 1e30)
         if with_fwd2:
-            # Strictly-greater second min (equal-t duplicates collapse —
-            # same semantics as trace_pallas._sweep_kernel / _dense_t_only).
-            tile_fwd2 = jnp.min(jnp.where(tf > tile_fwd[:, None], tf, 1e30),
-                                axis=1)
-            t_fwd2 = jnp.minimum(jnp.maximum(t_fwd, tile_fwd),
-                                 jnp.minimum(t_fwd2, tile_fwd2))
-        t_fwd = jnp.minimum(t_fwd, tile_fwd)
-        t_bwd = jnp.minimum(
-            t_bwd, jnp.min(jnp.where(ok & (facing > 0.0), t, 1e30), axis=1))
+            lf1, lf2 = _strict_pair_update(lf1, lf2, tf)
+        else:
+            lf1 = jnp.minimum(lf1, tf)
+        lb1 = jnp.minimum(lb1, jnp.where(det < 0.0, t, 1e30))
 
-    _sweep4_fold(cluster, outer_clusters, out_ref, t_fwd, t_bwd, t_fwd2,
-                 with_fwd2)
-
-
-def _sweep4_fold(cluster, outer_clusters, out_ref, t_fwd, t_bwd, t_fwd2,
-                 with_fwd2: bool):
-    """Fold one cluster's dual-facing mins into the outer or inner rows."""
     is_outer = cluster < outer_clusters
-
-    @pl.when(is_outer)
-    def _():
-        of = out_ref[0, :]
-        if with_fwd2:
-            out_ref[4, :] = jnp.minimum(jnp.maximum(of, t_fwd),
-                                        jnp.minimum(out_ref[4, :], t_fwd2))
-        out_ref[0, :] = jnp.minimum(of, t_fwd)
-        out_ref[1, :] = jnp.minimum(out_ref[1, :], t_bwd)
-
-    @pl.when(jnp.logical_not(is_outer))
-    def _():
-        out_ref[2, :] = jnp.minimum(out_ref[2, :], t_fwd)
-        out_ref[3, :] = jnp.minimum(out_ref[3, :], t_bwd)
+    if with_fwd2:
+        n1 = jnp.minimum(m1f, lf1)
+        n2 = jnp.minimum(jnp.where(m1f > n1, m1f, m2f),
+                         jnp.where(lf1 > n1, lf1, lf2))
+        m2f = jnp.where(is_outer, n2, m2f)
+    else:
+        n1 = jnp.minimum(m1f, lf1)
+    m1f = jnp.where(is_outer, n1, m1f)
+    m1b = jnp.where(is_outer, jnp.minimum(m1b, lb1), m1b)
+    i1f = jnp.where(is_outer, i1f, jnp.minimum(i1f, lf1))
+    i1b = jnp.where(is_outer, i1b, jnp.minimum(i1b, lb1))
+    return m1f, m2f, m1b, i1f, i1b
 
 
 def _sweep_stream_kernel(counts_ref, ids_hbm, tris_ref, o_ref, d_ref,
                          out_ref, ids_s, tile_v, row_sem, tile_sem, *,
                          outer_clusters: int, resident: bool,
                          with_fwd2: bool, mxu: bool = False):
+    from .trace_pallas import _lane_pair_reduce
     i = pl.program_id(0)
     cnt = counts_ref[i]
     k = ids_s.shape[0]
 
     row = pltpu.make_async_copy(ids_hbm.at[pl.ds(i * k, k)], ids_s,
                                 row_sem)
-    rows = 5 if with_fwd2 else 4
     row.start()
-    out_ref[:, :] = jnp.full((rows, BLOCK_RAYS), 1e30, jnp.float32)
+    big = jnp.full((BLOCK_RAYS, TRI_TILE), 1e30, jnp.float32)
     row.wait()
 
-    def body(j, _):
+    def body(j, state):
         if resident:
-            _sweep4_cluster(ids_s[j], outer_clusters, o_ref, d_ref, tris_ref,
-                            out_ref, base=ids_s[j] * CLUSTER_SIZE,
-                            with_fwd2=with_fwd2, mxu=mxu)
-        else:
-            dma = pltpu.make_async_copy(
-                tris_ref.at[:, pl.ds(ids_s[j] * CLUSTER_SIZE, CLUSTER_SIZE)],
-                tile_v, tile_sem)
-            dma.start()
-            dma.wait()
-            _sweep4_cluster(ids_s[j], outer_clusters, o_ref, d_ref, tile_v,
-                            out_ref, with_fwd2=with_fwd2, mxu=mxu)
-        return 0
+            return _sweep4_cluster(ids_s[j], outer_clusters, o_ref, d_ref,
+                                   tris_ref, state,
+                                   base=ids_s[j] * CLUSTER_SIZE,
+                                   with_fwd2=with_fwd2, mxu=mxu)
+        dma = pltpu.make_async_copy(
+            tris_ref.at[:, pl.ds(ids_s[j] * CLUSTER_SIZE, CLUSTER_SIZE)],
+            tile_v, tile_sem)
+        dma.start()
+        dma.wait()
+        return _sweep4_cluster(ids_s[j], outer_clusters, o_ref, d_ref,
+                               tile_v, state, with_fwd2=with_fwd2, mxu=mxu)
 
-    jax.lax.fori_loop(0, cnt, body, 0)
+    m1f, m2f, m1b, i1f, i1b = jax.lax.fori_loop(
+        0, cnt, body, (big, big, big, big, big))
+
+    if with_fwd2:
+        of, of2 = _lane_pair_reduce(m1f, m2f)
+        out_ref[4, :] = of2
+    else:
+        of = jnp.min(m1f, axis=1)
+    out_ref[0, :] = of
+    out_ref[1, :] = jnp.min(m1b, axis=1)
+    out_ref[2, :] = jnp.min(i1f, axis=1)
+    out_ref[3, :] = jnp.min(i1b, axis=1)
 
 
 def sweep_clusters_stream(origins, dirs, tris_packed, ids, counts,

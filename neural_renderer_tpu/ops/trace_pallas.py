@@ -49,74 +49,32 @@ def _kernel(mask_ref, o_ref, d_ref, tri_ref, out_ref, *, mode: int,
 
 def _trace_block_body(o_ref, d_ref, tri_ref, out_ref, *, mode: int,
                       num_tiles: int):
-    ox = o_ref[0, :][:, None]
-    oy = o_ref[1, :][:, None]
-    oz = o_ref[2, :][:, None]
-    dx = d_ref[0, :][:, None]
-    dy = d_ref[1, :][:, None]
-    dz = d_ref[2, :][:, None]
+    # PER-LANE best (t, tri) folded across tiles; the cross-lane argmin runs
+    # ONCE per block (was: one min + one iota-argmin cascade per tile).
+    # Ties resolve to the smallest triangle index, exactly like the old
+    # per-tile formulation: strict `<` keeps the earliest tile per lane, and
+    # the final min-over-lanes picks the smallest id among equal-t lanes.
+    big = jnp.full((BLOCK_RAYS, TRI_TILE), 1e30, jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_RAYS, TRI_TILE), 1)
 
     def tile(c, state):
-        best_t, best_tri = state
-        tb = tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)]  # [9, TRI_TILE] VMEM
-        v0x = tb[0, :][None, :]
-        v0y = tb[1, :][None, :]
-        v0z = tb[2, :][None, :]
-        e1x = tb[3, :][None, :]
-        e1y = tb[4, :][None, :]
-        e1z = tb[5, :][None, :]
-        e2x = tb[6, :][None, :]
-        e2y = tb[7, :][None, :]
-        e2z = tb[8, :][None, :]
+        bt, btri = state
+        t, det = _mt_tile_t(o_ref, d_ref,
+                            tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)])
+        if mode == 1:    # FORWARD_ONLY: facing < 0 == det > 0 (_mt_tile_t)
+            t = jnp.where(det > 0.0, t, 1e30)
+        elif mode == 2:  # BACKWARD_ONLY
+            t = jnp.where(det < 0.0, t, 1e30)
+        better = t < bt
+        btri = jnp.where(better, c * TRI_TILE + lane, btri)
+        bt = jnp.where(better, t, bt)
+        return bt, btri
 
-        # pvec = d x e2
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        ok = jnp.abs(det) >= TRI_EPSILON
-        inv_det = 1.0 / jnp.where(ok, det, 1.0)
-
-        tx = ox - v0x
-        ty = oy - v0y
-        tz = oz - v0z
-        u = (tx * px + ty * py + tz * pz) * inv_det
-        ok &= (u >= 0.0) & (u <= 1.0)
-
-        # qvec = tvec x e1
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        ok &= (v >= 0.0) & (u + v <= 1.0)
-
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok &= t > TRI_EPSILON
-
-        if mode != 0:  # facing cull against the unnormalized geometric normal
-            nx = e1y * e2z - e1z * e2y
-            ny = e1z * e2x - e1x * e2z
-            nz = e1x * e2y - e1y * e2x
-            facing = nx * dx + ny * dy + nz * dz
-            if mode == 1:   # FORWARD_ONLY
-                ok &= facing < 0.0
-            else:           # BACKWARD_ONLY
-                ok &= facing > 0.0
-
-        t = jnp.where(ok & (t > MIN_T), t, 1e30)
-        tc = jnp.min(t, axis=1)
-        # argmin via iota trick (portable across mosaic versions).
-        ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        ci = jnp.min(jnp.where(t <= tc[:, None], ids, TRI_TILE), axis=1)
-
-        better = tc < best_t
-        best_t = jnp.where(better, tc, best_t)
-        best_tri = jnp.where(better, c * TRI_TILE + ci, best_tri)
-        return best_t, best_tri
-
-    init = (jnp.full((BLOCK_RAYS,), 1e30, jnp.float32),
-            jnp.zeros((BLOCK_RAYS,), jnp.int32))
-    best_t, best_tri = jax.lax.fori_loop(0, num_tiles, tile, init)
+    bt, btri = jax.lax.fori_loop(0, num_tiles, tile,
+                                 (big, jnp.zeros_like(lane)))
+    best_t = jnp.min(bt, axis=1)
+    best_tri = jnp.min(jnp.where(bt <= best_t[:, None], btri,
+                                 jnp.int32(2147483647)), axis=1)
     out_ref[0, :] = best_t
     out_ref[1, :] = jax.lax.bitcast_convert_type(best_tri, jnp.float32)
 
@@ -155,24 +113,85 @@ def _sweep_kernel(mask_ref, o_ref, d_ref, tri_ref, out_ref, *,
                           num_tiles=num_tiles, with_fwd2=with_fwd2, mxu=mxu)
 
 
-def _sweep_block_body(o_ref, d_ref, tri_ref, out_ref, *,
-                      num_outer_tiles: int, num_tiles: int, with_fwd2: bool,
-                      mxu: bool):
+def _mt_tile_t(o_ref, d_ref, tb):
+    """Möller-Trumbore of a ray block against one triangle tile: returns
+    (t, det) with t = 1e30 where the pair is rejected (det cull, barycentric
+    bounds, epsilon). Facing is NOT applied — det's sign carries it:
+    det = e1.(d x e2) = -dot(geometric normal, d), so FORWARD (facing < 0)
+    == det > 0. Same det arithmetic as the XLA twin (_mt_from_packed)."""
     ox = o_ref[0, :][:, None]
     oy = o_ref[1, :][:, None]
     oz = o_ref[2, :][:, None]
     dx = d_ref[0, :][:, None]
     dy = d_ref[1, :][:, None]
     dz = d_ref[2, :][:, None]
+    v0x = tb[0, :][None, :]
+    v0y = tb[1, :][None, :]
+    v0z = tb[2, :][None, :]
+    e1x = tb[3, :][None, :]
+    e1y = tb[4, :][None, :]
+    e1z = tb[5, :][None, :]
+    e2x = tb[6, :][None, :]
+    e2y = tb[7, :][None, :]
+    e2z = tb[8, :][None, :]
 
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok = jnp.abs(det) >= TRI_EPSILON
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    ok &= (u >= 0.0) & (u <= 1.0)
+
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok &= (t > TRI_EPSILON) & (t > MIN_T)
+    return jnp.where(ok, t, 1e30), det
+
+
+def _strict_pair_update(m1, m2, tf):
+    """Fold per-lane values tf into the per-lane strict two-min pair
+    (m1, m2): m1 = running min, m2 = running min of values STRICTLY greater
+    than m1 (equal-t duplicates collapse). The strict formulation is
+    grouping-independent, so tile/lane/chunk partitions all agree bit-exactly
+    with the XLA twin's chunk merge (traversal._dense_t_only)."""
+    n1 = jnp.minimum(m1, tf)
+    m2 = jnp.minimum(jnp.where(m1 > n1, m1, m2),
+                     jnp.where(tf > n1, tf, 1e30))
+    return n1, m2
+
+
+def _lane_min(x):
+    return jnp.min(x, axis=1)
+
+
+def _lane_pair_reduce(m1, m2):
+    """Per-lane strict pairs [R, L] -> per-ray strict pair ([R], [R])."""
+    g1 = jnp.min(m1, axis=1)
+    g2 = jnp.min(jnp.where(m1 > g1[:, None], m1, m2), axis=1)
+    return g1, g2
+
+
+def _sweep_block_body(o_ref, d_ref, tri_ref, out_ref, *,
+                      num_outer_tiles: int, num_tiles: int, with_fwd2: bool,
+                      mxu: bool):
     if mxu:
         from .trace_mxu import pair_eval_raw, ray_features
         F = ray_features(o_ref[:, :], d_ref[:, :])
 
-    def tile(c, state):
-        of, ob, inf_, inb, of2 = state
-        tb = tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)]
-        if mxu:
+        def tile(c, state):
+            of, ob, inf_, inb, of2 = state
+            tb = tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)]
             # Matmul pair math (ops/trace_mxu.py); facing = -det.
             t, ok, det = pair_eval_raw(F, tb)
             valid = ok & (t > MIN_T)
@@ -183,82 +202,67 @@ def _sweep_block_body(o_ref, d_ref, tri_ref, out_ref, *,
             if with_fwd2:
                 t_fwd2 = jnp.min(jnp.where(tf > t_fwd[:, None], tf, 1e30),
                                  axis=1)
-                new_of2 = jnp.minimum(jnp.maximum(of, t_fwd),
-                                      jnp.minimum(of2, t_fwd2))
+                n1 = jnp.minimum(of, t_fwd)
+                new_of2 = jnp.minimum(jnp.where(of > n1, of, of2),
+                                      jnp.where(t_fwd > n1, t_fwd, t_fwd2))
                 of2 = jnp.where(is_outer, new_of2, of2)
             of = jnp.where(is_outer, jnp.minimum(of, t_fwd), of)
             ob = jnp.where(is_outer, jnp.minimum(ob, t_bwd), ob)
             inf_ = jnp.where(is_outer, inf_, jnp.minimum(inf_, t_fwd))
             inb = jnp.where(is_outer, inb, jnp.minimum(inb, t_bwd))
             return of, ob, inf_, inb, of2
-        v0x = tb[0, :][None, :]
-        v0y = tb[1, :][None, :]
-        v0z = tb[2, :][None, :]
-        e1x = tb[3, :][None, :]
-        e1y = tb[4, :][None, :]
-        e1z = tb[5, :][None, :]
-        e2x = tb[6, :][None, :]
-        e2y = tb[7, :][None, :]
-        e2z = tb[8, :][None, :]
 
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        ok = jnp.abs(det) >= TRI_EPSILON
-        inv_det = 1.0 / jnp.where(ok, det, 1.0)
-
-        tx = ox - v0x
-        ty = oy - v0y
-        tz = oz - v0z
-        u = (tx * px + ty * py + tz * pz) * inv_det
-        ok &= (u >= 0.0) & (u <= 1.0)
-
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        ok &= (v >= 0.0) & (u + v <= 1.0)
-
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok &= (t > TRI_EPSILON) & (t > MIN_T)
-
-        # Facing sign, same arithmetic as the oracle's cross-product normal.
-        nx = e1y * e2z - e1z * e2y
-        ny = e1z * e2x - e1x * e2z
-        nz = e1x * e2y - e1y * e2x
-        facing = nx * dx + ny * dy + nz * dz
-
-        tf = jnp.where(ok & (facing < 0.0), t, 1e30)
-        t_fwd = jnp.min(tf, axis=1)
-        t_bwd = jnp.min(jnp.where(ok & (facing > 0.0), t, 1e30), axis=1)
-
-        is_outer = c < num_outer_tiles
+        init = tuple(jnp.full((BLOCK_RAYS,), 1e30, jnp.float32)
+                     for _ in range(5))
+        of, ob, inf_, inb, of2 = jax.lax.fori_loop(0, num_tiles, tile, init)
+        out_ref[0, :] = of
+        out_ref[1, :] = ob
+        out_ref[2, :] = inf_
+        out_ref[3, :] = inb
         if with_fwd2:
-            # Second-smallest STRICTLY-GREATER forward t in this tile, then
-            # merge into the running two smallest outer fwd. Equal-t
-            # duplicate crossings collapse — semantically matching the
-            # reference, whose re-entry re-trace from exit+eps
-            # (prepareNextIterationKernel, cuda_renderer_neural.cu:1456-1524)
-            # likewise skips a second crossing at the same t. This is one
-            # select + one min-reduce cheaper than argmin-masking a single
-            # instance.
-            t_fwd2 = jnp.min(jnp.where(tf > t_fwd[:, None], tf, 1e30), axis=1)
-            new_of2 = jnp.minimum(jnp.maximum(of, t_fwd),
-                                  jnp.minimum(of2, t_fwd2))
-            of2 = jnp.where(is_outer, new_of2, of2)
-        of = jnp.where(is_outer, jnp.minimum(of, t_fwd), of)
-        ob = jnp.where(is_outer, jnp.minimum(ob, t_bwd), ob)
-        inf_ = jnp.where(is_outer, inf_, jnp.minimum(inf_, t_fwd))
-        inb = jnp.where(is_outer, inb, jnp.minimum(inb, t_bwd))
-        return of, ob, inf_, inb, of2
+            out_ref[4, :] = of2
+        return
 
-    init = tuple(jnp.full((BLOCK_RAYS,), 1e30, jnp.float32) for _ in range(5))
-    of, ob, inf_, inb, of2 = jax.lax.fori_loop(0, num_tiles, tile, init)
+    # VPU path: PER-LANE accumulators folded across tiles, ONE cross-lane
+    # reduction per block at the end — the per-tile lane reductions (3-4
+    # log-width shuffle cascades per 128-triangle tile) were ~1/3 of the old
+    # kernel's time. Outer and inner tiles run as separate static-range
+    # loops so no per-tile is_outer selects are paid.
+    big = jnp.full((BLOCK_RAYS, TRI_TILE), 1e30, jnp.float32)
+
+    def outer_tile(c, state):
+        m1f, m2f, m1b = state
+        t, det = _mt_tile_t(o_ref, d_ref,
+                            tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)])
+        tf = jnp.where(det > 0.0, t, 1e30)
+        if with_fwd2:
+            m1f, m2f = _strict_pair_update(m1f, m2f, tf)
+        else:
+            m1f = jnp.minimum(m1f, tf)
+        m1b = jnp.minimum(m1b, jnp.where(det < 0.0, t, 1e30))
+        return m1f, m2f, m1b
+
+    def inner_tile(c, state):
+        i1f, i1b = state
+        t, det = _mt_tile_t(o_ref, d_ref,
+                            tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)])
+        i1f = jnp.minimum(i1f, jnp.where(det > 0.0, t, 1e30))
+        i1b = jnp.minimum(i1b, jnp.where(det < 0.0, t, 1e30))
+        return i1f, i1b
+
+    m1f, m2f, m1b = jax.lax.fori_loop(0, num_outer_tiles, outer_tile,
+                                      (big, big, big))
+    i1f, i1b = jax.lax.fori_loop(num_outer_tiles, num_tiles, inner_tile,
+                                 (big, big))
+
+    if with_fwd2:
+        of, of2 = _lane_pair_reduce(m1f, m2f)
+    else:
+        of, of2 = _lane_min(m1f), None
     out_ref[0, :] = of
-    out_ref[1, :] = ob
-    out_ref[2, :] = inf_
-    out_ref[3, :] = inb
+    out_ref[1, :] = _lane_min(m1b)
+    out_ref[2, :] = _lane_min(i1f)
+    out_ref[3, :] = _lane_min(i1b)
     if with_fwd2:
         out_ref[4, :] = of2
 

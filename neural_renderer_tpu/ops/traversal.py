@@ -122,12 +122,16 @@ def _mt_from_packed(origins, dirs, v0, e1, e2, mode: int):
     ok &= t > TRI_EPSILON
 
     if mode != ANY:
-        tri_n = cross(e1, e2)  # unnormalized geometric normal; sign suffices
-        facing = dot(tri_n, dirs)
+        # Facing sign from the determinant: det = e1.(d x e2) = -d.(e1 x e2)
+        # = -dot(geometric normal, d), so FORWARD (normal against the ray,
+        # facing < 0) == det > 0. Saves the cross+dot the reference's
+        # normal-based cull pays (mesh_traversal.cuh:96-111 semantics kept);
+        # kernels (trace_pallas/trace_cluster/trace_mxu) use the identical
+        # det arithmetic, so twin/kernel decisions agree bit-exactly.
         if mode == FORWARD_ONLY:
-            ok &= facing < 0.0
+            ok &= det > 0.0
         else:  # BACKWARD_ONLY
-            ok &= facing > 0.0
+            ok &= det < 0.0
     return t, u, v, ok
 
 
@@ -207,9 +211,14 @@ def _dense_t_only(mesh, origins, dirs, mode: int, two_min: bool = False):
         if two_min:
             # Strictly-greater second min (equal-t duplicate crossings
             # collapse) — must match the Pallas sweep's fwd2 semantics
-            # (trace_pallas._sweep_kernel).
+            # (trace_pallas._sweep_kernel). STRICT merge: the (min,
+            # strict-second-min) of a multiset is grouping-independent, so
+            # any chunk/tile/lane partition gives bit-identical results.
             m2 = jnp.min(jnp.where(t > m1[:, None], t, 1e30), axis=1)
-            t2 = jnp.minimum(jnp.maximum(t1, m1), jnp.minimum(t2, m2))
+            new1 = jnp.minimum(t1, m1)
+            t2 = jnp.minimum(jnp.where(t1 > new1, t1, t2),
+                             jnp.where(m1 > new1, m1, m2))
+            return new1, t2
         return jnp.minimum(t1, m1), t2
 
     init = (jnp.full((n,), 1e30, jnp.float32),
