@@ -4,9 +4,11 @@ The reference loads EXR environment maps through tinyexr
 (/root/reference/src/scene.cu:204-243); this image's imageio/cv2 builds have
 no EXR codec, so the framework carries its own reader, like the hand-written
 Radiance RGBE parser (envmap.py). Scope = what HDRI environment maps use:
-single-part scanline files, NONE / RLE / ZIPS / ZIP compression, HALF /
-FLOAT / UINT channels, no subsampling. PIZ/PXR24/B44/DWA raise a clear
-error. Layout reference: the OpenEXR file-format notes (openexr.com,
+single-part scanline files, NONE / RLE / ZIPS / ZIP / PIZ / PXR24
+compression, HALF / FLOAT / UINT channels, no subsampling. B44/DWA raise a
+clear error. PIZ — what most published HDRIs ship, and what tinyexr handles
+for the reference — lives in exr_piz.py (wavelet + Huffman codec); PXR24
+decode too. Layout reference: the OpenEXR file-format notes (openexr.com,
 "Reading and Writing Image Files" + ImfZip.cpp predictor/interleave scheme).
 """
 
@@ -19,9 +21,9 @@ import numpy as np
 
 MAGIC = 20000630
 _PIX_DTYPE = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
-_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16}  # NONE, RLE, ZIPS, ZIP
-_COMP_NAMES = {4: "PIZ", 5: "PXR24", 6: "B44", 7: "B44A", 8: "DWAA",
-               9: "DWAB"}
+# NONE, RLE, ZIPS, ZIP, PIZ, PXR24
+_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}
+_COMP_NAMES = {6: "B44", 7: "B44A", 8: "DWAA", 9: "DWAB"}
 
 
 class ExrError(ValueError):
@@ -130,7 +132,7 @@ def _read_exr(path: str) -> np.ndarray:
     comp = attrs["compression"][1][0]
     if comp not in _LINES_PER_BLOCK:
         raise ExrError(f"{_COMP_NAMES.get(comp, comp)} compression "
-                       "unsupported (NONE/RLE/ZIPS/ZIP only)")
+                       "unsupported (NONE/RLE/ZIPS/ZIP/PIZ/PXR24 only)")
     lines_per = _LINES_PER_BLOCK[comp]
 
     xmin, ymin, xmax, ymax = struct.unpack_from("<iiii",
@@ -164,6 +166,20 @@ def _read_exr(path: str) -> np.ndarray:
         elif comp == 1:  # RLE: same predictor/reorder around the run coding
             if size < expect:
                 raw = _interleave(_reconstruct(_rle_decode(raw, expect)))
+        elif comp == 4:  # PIZ (wavelet + Huffman; exr_piz.py)
+            if size < expect:
+                from .exr_piz import PizError, piz_uncompress_block
+                try:
+                    raw = piz_uncompress_block(raw, chans, width, ny)
+                except PizError as e:
+                    raise ExrError(f"PIZ block: {e}") from e
+        elif comp == 5:  # PXR24 (zlib over delta byte planes; lossy floats)
+            if size < expect:
+                from .exr_piz import PizError, pxr24_uncompress_block
+                try:
+                    raw = pxr24_uncompress_block(raw, chans, width, ny)
+                except PizError as e:
+                    raise ExrError(f"PXR24 block: {e}") from e
         if len(raw) < expect:
             raise ExrError("truncated scanline block")
         bp = 0

@@ -155,13 +155,13 @@ def test_incompressible_zip_block_stays_raw(tmp_path):
 
 def test_rejects_unsupported(tmp_path):
     img = np.zeros((4, 4, 3), np.float32)
-    p = str(tmp_path / "piz.exr")
+    p = str(tmp_path / "b44.exr")
     write_exr(p, img, ptype=2, comp=0)
     raw = bytearray(open(p, "rb").read())
     i = raw.index(b"compression\0compression\0")
-    raw[i + len(b"compression\0compression\0") + 4] = 4  # PIZ
+    raw[i + len(b"compression\0compression\0") + 4] = 6  # B44
     open(p, "wb").write(bytes(raw))
-    with pytest.raises(ExrError, match="PIZ"):
+    with pytest.raises(ExrError, match="B44"):
         read_exr(p)
     open(p, "wb").write(b"NOTEXR" + bytes(64))
     with pytest.raises(ExrError, match="magic"):
@@ -194,6 +194,167 @@ def test_envmap_dispatch(tmp_path):
     img = (np.random.default_rng(0).random((8, 16, 3)) * 3).astype(np.float32)
     p = str(tmp_path / "env.exr")
     write_exr(p, img, ptype=2, comp=3)
+    env = EnvironmentMap()
+    env.load_from_file(p)
+    assert env.is_valid
+    np.testing.assert_array_equal(env.pixels, img)
+
+# ---------------------------------------------------------------------------
+# PIZ / PXR24 (scene/exr_piz.py) + the production writer (scene/exr_write.py)
+# ---------------------------------------------------------------------------
+# The PIZ encoder and decoder are implemented independently from the OpenEXR
+# format spec (ImfPizCompressor/ImfHuf/ImfWav semantics), so a round-trip
+# exercises both directions of each stage (bitmap/LUT, wavelet, canonical
+# Huffman incl. the run-length escape). No reference PIZ file exists in this
+# image (zero egress); the NONE-path reader is separately validated against a
+# real-world file in test_reads_real_world_exr.
+
+from neural_renderer_tpu.scene.exr_piz import (
+    bitmap_from_data, forward_lut_from_bitmap, huf_compress, huf_uncompress,
+    reverse_lut_from_bitmap, wav2_decode, wav2_encode)
+from neural_renderer_tpu.scene.exr_write import write_exr as write_exr_prod
+
+
+@pytest.mark.parametrize("shape", [(7, 5), (32, 32), (1, 9), (9, 1), (33, 70)])
+@pytest.mark.parametrize("mx", [100, 40000])
+def test_wavelet_roundtrip(shape, mx):
+    # mx selects the 14-bit (int16) vs 16-bit (mod-arithmetic) pair coder.
+    rng = np.random.default_rng(shape[0] * 100 + mx)
+    plane = rng.integers(0, mx + 1, shape).astype(np.uint16)
+    enc = wav2_encode(plane.copy(), mx)
+    dec = wav2_decode(enc.copy(), mx)
+    np.testing.assert_array_equal(dec, plane)
+
+
+def test_huffman_roundtrip_with_runs():
+    rng = np.random.default_rng(0)
+    # Long runs exercise the run-length escape symbol (code iM, 8-bit count).
+    data = np.concatenate([
+        rng.integers(0, 2000, 5000),
+        np.full(700, 1234),          # run > 255 -> multiple escapes
+        rng.integers(0, 65000, 100),  # sparse high values -> long codes
+        np.zeros(17),
+    ]).astype(np.uint16)
+    back = huf_uncompress(huf_compress(data), data.size)
+    np.testing.assert_array_equal(back, data)
+
+
+def test_huffman_single_symbol():
+    data = np.full(1000, 42, np.uint16)
+    back = huf_uncompress(huf_compress(data), data.size)
+    np.testing.assert_array_equal(back, data)
+
+
+def test_bitmap_lut_inverse():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 65536, 4096).astype(np.uint16)
+    bitmap, _, _ = bitmap_from_data(data)
+    fwd, max_f = forward_lut_from_bitmap(bitmap)
+    rev, max_r = reverse_lut_from_bitmap(bitmap)
+    assert max_f == max_r
+    np.testing.assert_array_equal(rev[fwd[data]], data)
+    assert fwd[data].max() == max_f
+
+
+@pytest.mark.parametrize("half", [True, False])
+def test_piz_roundtrip(tmp_path, half):
+    rng = np.random.default_rng(4)
+    # 70 rows -> 3 PIZ blocks (32 lines each), last partial.
+    img = (rng.random((70, 33, 3)) * 8.0).astype(np.float32)
+    p = str(tmp_path / "p.exr")
+    write_exr_prod(p, img, "piz", half=half)
+    ref = img.astype(np.float16).astype(np.float32) if half else img
+    np.testing.assert_array_equal(read_exr(p), ref)
+
+
+def test_piz_compresses_smooth_data(tmp_path):
+    # The point of PIZ: a smooth HDR gradient should shrink well below raw.
+    y, x = np.mgrid[0:64, 0:64].astype(np.float32)
+    img = np.stack([y / 64, x / 64, (x + y) / 128], -1)
+    p = str(tmp_path / "s.exr")
+    write_exr_prod(p, img, "piz")
+    import os
+    assert os.path.getsize(p) < 64 * 64 * 3 * 2 * 0.6
+
+
+@pytest.mark.parametrize("comp", ["none", "zips", "zip"])
+def test_production_writer_other_compressions(tmp_path, comp):
+    rng = np.random.default_rng(5)
+    img = (rng.random((21, 13, 3)) * 3).astype(np.float32)
+    p = str(tmp_path / "w.exr")
+    write_exr_prod(p, img, comp, half=False)
+    np.testing.assert_array_equal(read_exr(p), img)
+
+
+def test_production_writer_luminance(tmp_path):
+    img = np.linspace(0, 5, 40, dtype=np.float32).reshape(8, 5)
+    p = str(tmp_path / "y.exr")
+    write_exr_prod(p, img, "piz", half=False)
+    np.testing.assert_array_equal(read_exr(p)[..., 0], img)
+
+
+def test_pxr24_decode(tmp_path):
+    """Build a PXR24 file by hand (delta-coded byte planes per the format
+    notes) and check the reader reconstructs the 24-bit-truncated floats."""
+    import struct
+    import zlib
+    rng = np.random.default_rng(6)
+    h, w = 5, 7
+    img = (rng.random((h, w, 3)) * 4).astype(np.float32)
+    planes = {c: img[..., "RGB".index(c)] for c in "RGB"}
+    blob = bytearray()
+    for y in range(h):
+        for c in sorted("RGB"):
+            u = planes[c][y].view(np.uint32).astype(np.uint32) >> 8  # 24-bit
+            diff = np.diff(u.astype(np.int64), prepend=0) & 0xFFFFFF
+            blob += (diff >> 16).astype(np.uint8).tobytes()
+            blob += ((diff >> 8) & 0xFF).astype(np.uint8).tobytes()
+            blob += (diff & 0xFF).astype(np.uint8).tobytes()
+    payload = zlib.compress(bytes(blob))
+
+    def attr(name, typ, v):
+        return (name.encode() + b"\0" + typ.encode() + b"\0"
+                + struct.pack("<i", len(v)) + v)
+
+    ch = b""
+    for c in sorted("RGB"):
+        ch += c.encode() + b"\0" + struct.pack("<i", 2) + b"\0\0\0\0" + struct.pack("<ii", 1, 1)
+    ch += b"\0"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = (attr("channels", "chlist", ch)
+              + attr("compression", "compression", bytes([5]))
+              + attr("dataWindow", "box2i", box) + b"\0")
+    p = str(tmp_path / "pxr.exr")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<ii", 20000630, 2))
+        f.write(header)
+        f.write(struct.pack("<Q", 8 + len(header) + 8))
+        f.write(struct.pack("<ii", 0, len(payload)))
+        f.write(payload)
+    back = read_exr(p)
+    expect = (img.view(np.uint32) & 0xFFFFFF00).view(np.float32)
+    np.testing.assert_array_equal(back, expect)
+
+
+def test_reads_real_world_exr():
+    """Interop: an EXR produced by a real third-party writer (from the
+    CPython test suite on this image) — RGBA channels, DECREASING_Y line
+    order, NONE compression."""
+    import os
+    p = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+         "test/imghdrdata/python.exr")
+    if not os.path.exists(p):
+        pytest.skip("real-world EXR sample not present")
+    img = read_exr(p)
+    assert img.shape == (16, 16, 3)
+    assert 0.0 <= img.min() and img.max() <= 1.0 and img.max() > 0.5
+
+
+def test_envmap_dispatch_piz(tmp_path):
+    from neural_renderer_tpu.scene.envmap import EnvironmentMap
+    img = (np.random.default_rng(9).random((8, 16, 3)) * 3).astype(np.float32)
+    p = str(tmp_path / "env_piz.exr")
+    write_exr_prod(p, img, "piz", half=False)
     env = EnvironmentMap()
     env.load_from_file(p)
     assert env.is_valid
