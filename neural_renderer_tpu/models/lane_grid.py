@@ -36,7 +36,10 @@ caller (models/nbvh.py encode ordering).
 
 from __future__ import annotations
 
+import functools
 import math
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +86,97 @@ def init_lane_tables(key, n_points: int, n_levels: int, n_features: int,
                               dtype=dtype)
 
 
+# ---------------------------------------------------------------------------
+# Corner lookup-sum with an MXU-friendly table gradient
+# ---------------------------------------------------------------------------
+# Plain autodiff of `sum_c take(T, idx_c) * w_c` transposes the gather into
+# an XLA scatter-add — measured as ~44 of the 45 ms training step at B=16k
+# (per-index column-window scatters; scripts/profile_train_backward.py). The
+# table entry index decomposes as e = row * 128 + lane, so the gradient
+#   dT[f, e] = sum_{c,n} g[f,n] * w[c,n] * [idx[c,n] == e]
+# factors into a LANE one-hot (128-wide, the vreg lane dimension) and a ROW
+# mask (R = E/128 wide):
+#   A[(r,f), (c,n)] = g[f,n] * w[c,n] * [row[c,n] == r]      (VPU build, bf16)
+#   dT[(r,f), lane] = A @ OH_lane[(c,n), lane]               (ONE MXU matmul)
+# With R*F = 128 rows (S=16, pack=2, F=4) the matmul runs on full MXU tiles
+# instead of M=4 slivers (a plain [F,E] one-hot matmul measured only 1.8x the
+# scatter; scripts/bench_table_grad.py). Weight/position gradients keep exact
+# autodiff: w8 is computed outside, and dw uses the saved corner values.
+
+
+_GRAD_CHUNK = 16384  # rays per backward matmul chunk (A is [R*F, 8*chunk] bf16)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_corner_lookup_sum(f_dim: int, e_dim: int, dtype_name: str):
+    r_dim = e_dim // LANES
+    tdtype = jnp.dtype(dtype_name)
+
+    @jax.custom_vjp
+    def lookup(table_fe, idx8, w8):
+        acc = 0.0
+        for c in range(8):
+            acc = acc + jnp.take(table_fe, idx8[c], axis=1) * w8[c][None, :]
+        return acc
+
+    def fwd(table_fe, idx8, w8):
+        v8 = jnp.stack([jnp.take(table_fe, idx8[c], axis=1)
+                        for c in range(8)])
+        out = jnp.sum(v8 * w8[:, None, :], axis=0)
+        return out, (idx8, w8, v8)
+
+    def bwd(res, g):
+        idx8, w8, v8 = res
+        n = idx8.shape[1]
+        lane = (idx8 & (LANES - 1)).astype(jnp.int32)
+        row = (idx8 >> 7).astype(jnp.int32)
+        gw = (g[:, None, :] * w8[None, :, :]).astype(jnp.bfloat16)  # [F,8,N]
+        rows_iota = jnp.arange(r_dim, dtype=jnp.int32)
+        lanes_iota = jnp.arange(LANES, dtype=jnp.int32)
+
+        chunk = min(_GRAD_CHUNK, n)
+        num_chunks = -(-n // chunk)
+        padded = num_chunks * chunk
+        if padded != n:
+            lane = jnp.pad(lane, ((0, 0), (0, padded - n)))
+            row = jnp.pad(row, ((0, 0), (0, padded - n)), constant_values=-1)
+            gw = jnp.pad(gw, ((0, 0), (0, 0), (0, padded - n)))
+
+        def body(i, dt2):
+            sl = jax.lax.dynamic_slice_in_dim
+            lane_c = sl(lane, i * chunk, chunk, axis=1)       # [8, chunk]
+            row_c = sl(row, i * chunk, chunk, axis=1)
+            gw_c = sl(gw, i * chunk, chunk, axis=2)           # [F, 8, chunk]
+            rowmask = (row_c[None] == rows_iota[:, None, None])
+            a = (rowmask[:, None].astype(jnp.bfloat16)
+                 * gw_c[None]).reshape(r_dim * f_dim, 8 * chunk)
+            oh = (lane_c.reshape(-1)[:, None]
+                  == lanes_iota[None, :]).astype(jnp.bfloat16)
+            return dt2 + jax.lax.dot(a, oh,
+                                     preferred_element_type=jnp.float32)
+
+        dt2 = jax.lax.fori_loop(
+            0, num_chunks, body,
+            jnp.zeros((r_dim * f_dim, LANES), jnp.float32))
+        d_table = dt2.reshape(r_dim, f_dim, LANES).transpose(1, 0, 2) \
+            .reshape(f_dim, e_dim).astype(tdtype)
+        dw = jnp.einsum("cfn,fn->cn", v8, g)
+        d_idx = np.zeros(idx8.shape, dtype=jax.dtypes.float0)
+        return d_table, d_idx, dw
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+def _corner_lookup_sum(table_fe, idx8, w8):
+    """[F, E] table, [8, N] int32 corner indices, [8, N] f32 weights ->
+    [F, N] = sum_c take(table, idx8[c], axis=1) * w8[c]."""
+    f_dim, e_dim = table_fe.shape
+    return _make_corner_lookup_sum(f_dim, e_dim,
+                                   jnp.dtype(table_fe.dtype).name)(
+        table_fe, idx8, w8)
+
+
 def lane_encode_point_features(tables_p, x, base_resolution: int,
                                per_level_scale: float):
     """Encode ONE point through its per-point tables (XLA twin).
@@ -105,17 +199,18 @@ def lane_encode_point_features(tables_p, x, base_resolution: int,
         c0 = corner.astype(jnp.int32)
 
         table_fe = tables_p[level].reshape(n_features, n_entries)
-        acc = 0.0
+        idx_list, w_list = [], []
         for dz in (0, 1):
             for dy in (0, 1):
                 for dx in (0, 1):
-                    idx = hash_corner(c0[0] + dx, c0[1] + dy, c0[2] + dz,
-                                      n_entries)
+                    idx_list.append(hash_corner(c0[0] + dx, c0[1] + dy,
+                                                c0[2] + dz, n_entries))
                     wx = w[0] if dx else (1.0 - w[0])
                     wy = w[1] if dy else (1.0 - w[1])
                     wz = w[2] if dz else (1.0 - w[2])
-                    wc = wx * wy * wz
-                    acc = acc + jnp.take(table_fe, idx, axis=1) * wc[None, :]
+                    w_list.append(wx * wy * wz)
+        acc = _corner_lookup_sum(table_fe, jnp.stack(idx_list),
+                                 jnp.stack(w_list))
         outs.extend(acc[f] for f in range(n_features))
     return outs
 

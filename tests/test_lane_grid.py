@@ -176,3 +176,56 @@ def test_lane_train_step_decreases_loss():
         state, m = step(state, batch)
     assert np.isfinite(float(m["total"]))
     assert float(m["total"]) < float(m0["total"])
+
+
+def test_corner_lookup_sum_grads_match_scatter_autodiff():
+    """The custom-vjp table gradient (lane/row-decomposed masked matmul,
+    the training-throughput fix: scatter-add was ~44 of the 45 ms step) must
+    match plain autodiff within bf16 contribution rounding, for both table
+    and weight gradients, including N not divisible by the backward chunk."""
+    rng = np.random.default_rng(3)
+    F, E, N = 4, 1024, 1000  # R = 8 rows; N deliberately ragged
+    table = jnp.asarray(rng.standard_normal((F, E)), jnp.float32)
+    idx8 = jnp.asarray(rng.integers(0, E, (8, N)), jnp.int32)
+    w8 = jnp.asarray(rng.random((8, N)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((F, N)), jnp.float32)
+
+    def loss_custom(t, w):
+        out = lane_grid._corner_lookup_sum(t, idx8, w)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_ref(t, w):
+        acc = 0.0
+        for c in range(8):
+            acc = acc + jnp.take(t, idx8[c], axis=1) * w[c][None, :]
+        return jnp.sum((acc - tgt) ** 2)
+
+    # Forward identical.
+    np.testing.assert_allclose(loss_custom(table, w8), loss_ref(table, w8),
+                               rtol=1e-6)
+    gc_t, gc_w = jax.jit(jax.grad(loss_custom, argnums=(0, 1)))(table, w8)
+    gr_t, gr_w = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(table, w8)
+    # Table grads: each entry is a sum of bf16-rounded contributions.
+    scale = np.abs(np.asarray(gr_t)).max()
+    np.testing.assert_allclose(np.asarray(gc_t), np.asarray(gr_t),
+                               atol=2e-2 * scale)
+    # Weight grads use the exact saved corner values: tight tolerance.
+    np.testing.assert_allclose(np.asarray(gc_w), np.asarray(gr_w),
+                               rtol=1e-5, atol=1e-5 * np.abs(gr_w).max())
+
+
+def test_lane_train_grads_flow_through_custom_vjp():
+    """End-to-end: nbvh.apply training grads are finite and nonzero for the
+    lane tables through the custom-vjp path."""
+    cfg = nbvh.NbvhConfig(grid_type="lane", lane_sublanes=2,
+                          log2_hashmap_size=10, base_resolution=4)
+    params = nbvh.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (12, 64))
+
+    def loss(p):
+        return jnp.sum(nbvh.apply(p, x, cfg, compute_dtype=jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    lane_g = np.asarray(g["lane"], np.float32)
+    assert np.isfinite(lane_g).all()
+    assert (lane_g != 0).any()
