@@ -136,7 +136,7 @@ def _mt_from_packed(origins, dirs, v0, e1, e2, mode: int):
 
 
 def trace_mesh(mesh, origins, dirs, mode: int = ANY,
-               active=None) -> TraceResult:
+               active=None, presorted: bool = False) -> TraceResult:
     """Closest-hit trace of [N] rays against one mesh.
 
     Args:
@@ -145,6 +145,10 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
       mode: ANY / FORWARD_ONLY / BACKWARD_ONLY (static).
       active: optional [N] bool — inactive rays skip work (masked lanes, the
         replacement for CUDA stream compaction).
+      presorted: caller guarantees rays are already in
+        octant/morton-coherent order (`_ray_sort_order`) — the two-level
+        path then skips its own argsort + permutes (a ~20 ms cost at 262k
+        rays that the training sampler would otherwise pay per trace).
     """
     n = origins.shape[1]
     if mesh.is_empty:
@@ -156,7 +160,8 @@ def trace_mesh(mesh, origins, dirs, mode: int = ANY,
         # Above the crossover the clustered streaming trace beats the dense
         # all-pairs sweep even for "small" meshes: sorted camera blocks
         # touch only their frustum's clusters, with front-to-back early-out.
-        return _trace_two_level(mesh, origins, dirs, mode, active)
+        return _trace_two_level(mesh, origins, dirs, mode, active,
+                                presorted=presorted)
 
     def default_fn(origins, dirs):
         if mesh.num_triangles <= DENSE_MAX_TRIANGLES:
@@ -548,25 +553,30 @@ def _ray_sort_order(origins, dirs, active):
 _CHUNK_RAYS = 512 * 512  # 262,144 rays per clustered-trace chunk
 
 
-def _trace_two_level(mesh, origins, dirs, mode: int, active) -> TraceResult:
+def _trace_two_level(mesh, origins, dirs, mode: int, active,
+                     presorted: bool = False) -> TraceResult:
     """Octant/morton-sorted rays -> clustered dense trace -> unsort.
 
     Batches beyond _CHUNK_RAYS run as a lax.map over sorted contiguous
     chunks: one kernel compilation, bounded [NB, C] mask intermediates and
     bounded scalar-prefetch worklists (the SMEM budget), and the sort means
-    each chunk stays spatially coherent."""
+    each chunk stays spatially coherent. presorted=True skips the sort and
+    both permutes (the caller already ordered the rays)."""
     n = origins.shape[1]
-    order = _ray_sort_order(origins, dirs, active)
-    inv = jnp.zeros((n,), order.dtype).at[order].set(
-        jnp.arange(n, dtype=order.dtype))
-    # ONE packed gather for the permute (per-index overhead dominates —
-    # scripts/bench_gather_pack.py measured 5.5x for packed windows).
-    rows = [origins, dirs]
-    if active is not None:
-        rows.append(active[None, :].astype(jnp.float32))
-    ps = jnp.take(jnp.concatenate(rows, axis=0), order, axis=1)
-    o_s, d_s = ps[0:3], ps[3:6]
-    act_s = (ps[6] > 0.0) if active is not None else None
+    if presorted:
+        o_s, d_s, act_s = origins, dirs, active
+    else:
+        order = _ray_sort_order(origins, dirs, active)
+        inv = jnp.zeros((n,), order.dtype).at[order].set(
+            jnp.arange(n, dtype=order.dtype))
+        # ONE packed gather for the permute (per-index overhead dominates —
+        # scripts/bench_gather_pack.py measured 5.5x for packed windows).
+        rows = [origins, dirs]
+        if active is not None:
+            rows.append(active[None, :].astype(jnp.float32))
+        ps = jnp.take(jnp.concatenate(rows, axis=0), order, axis=1)
+        o_s, d_s = ps[0:3], ps[3:6]
+        act_s = (ps[6] > 0.0) if active is not None else None
 
     if n > _CHUNK_RAYS:
         m = -(-n // _CHUNK_RAYS)
@@ -586,6 +596,8 @@ def _trace_two_level(mesh, origins, dirs, mode: int, active) -> TraceResult:
         res = TraceResult(*(x.reshape(-1)[:n] for x in res))
     else:
         res = _trace_two_level_impl(mesh, o_s, d_s, mode, act_s)
+    if presorted:
+        return res
     # Un-permute all 5 result rows through ONE packed gather (bitcast keeps
     # tri exact; bool survives the f32 round trip as 0.0/1.0).
     pr = jnp.take(jnp.stack(

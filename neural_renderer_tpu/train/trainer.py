@@ -42,6 +42,10 @@ class TrainConfig:
     # on ALL of them — required coverage for non-convex shells (knot scene),
     # where strand-facing segments are never first crossings.
     segments_per_ray: int = 1
+    # Fused Pallas forward+backward for lane-grid networks
+    # (ops/lane_grid_train_kernel.py): "auto" = on real TPU only, "on" =
+    # always (interpret mode off-TPU — slow, for tests), "off" = XLA twin.
+    fused_kernel: str = "auto"
 
 
 class TrainState(NamedTuple):
@@ -92,9 +96,26 @@ def init_train_state(cfg: TrainConfig, net_config: nbvh.NbvhConfig) -> TrainStat
                       step=jnp.int32(0))
 
 
-def loss_fn(params, batch, net_config, compute_dtype):
-    outputs = nbvh.apply(params, batch.inputs, net_config,
-                         compute_dtype=compute_dtype)
+def resolve_fused(cfg: TrainConfig, net_config: nbvh.NbvhConfig):
+    """-> (use_fused, interpret) for the lane-grid fused training kernel."""
+    if cfg.fused_kernel == "off" or net_config.grid_type != "lane":
+        return False, False
+    import jax as _jax
+    on_tpu = _jax.default_backend() not in ("cpu",)
+    if cfg.fused_kernel == "on":
+        return True, not on_tpu
+    return on_tpu, False
+
+
+def loss_fn(params, batch, net_config, compute_dtype, fused=False,
+            interpret=False):
+    if fused:
+        from ..ops.lane_grid_train_kernel import apply_train_fused
+        outputs = apply_train_fused(params, batch.inputs, net_config,
+                                    interpret=interpret)
+    else:
+        outputs = nbvh.apply(params, batch.inputs, net_config,
+                             compute_dtype=compute_dtype)
     return shell_losses(outputs, batch)
 
 
@@ -110,22 +131,47 @@ def make_train_step(cfg: TrainConfig, net_config: nbvh.NbvhConfig,
     scene_global_row) — the albedo supervision for material_id < 0 hits."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     opt = make_optimizer(cfg)
+    # The fused Pallas forward+backward only applies single-device (its grad
+    # accumulators are per-kernel; dp/tp sharding keeps the XLA twin, whose
+    # collectives XLA inserts from the shardings).
+    fused, interp = (False, False) if mesh is not None \
+        else resolve_fused(cfg, net_config)
 
-    def step(state: TrainState, key) -> tuple[TrainState, dict]:
-        batch = sample_segment_batch(key, gt_mesh, outer, inner, outer_min,
-                                     outer_inv_extent, cfg.batch_size, radius,
-                                     segments_per_ray=cfg.segments_per_ray,
-                                     global_row=global_row)
-        if mesh is not None:
-            from ..parallel.shardings import constrain_batch_dp
-            batch = constrain_batch_dp(batch, mesh, dp_axis)
+    def grad_step(state: TrainState, batch) -> tuple[TrainState, dict]:
         (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, net_config, compute_dtype)
+            loss_fn, has_aux=True)(state.params, batch, net_config,
+                                   compute_dtype, fused, interp)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    if mesh is not None:
+        def step(state: TrainState, key):
+            batch = sample_segment_batch(
+                key, gt_mesh, outer, inner, outer_min, outer_inv_extent,
+                cfg.batch_size, radius,
+                segments_per_ray=cfg.segments_per_ray, global_row=global_row)
+            from ..parallel.shardings import constrain_batch_dp
+            return grad_step(state, constrain_batch_dp(batch, mesh, dp_axis))
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    # Single device: TWO dispatches per step (sampler, then grad+update).
+    # Keeping them in one jit serializes pathologically at large batches
+    # (XLA schedules the sampler's trace kernels and the fused train kernels
+    # back-to-back with no overlap: 522 ms vs 69+66 of the parts at B=262k,
+    # BASELINE.md round 3); as separate dispatches the async queue hides the
+    # per-dispatch RPC floor and batch k+1's sampler overlaps grad k.
+    sample_jit = jax.jit(lambda key: sample_segment_batch(
+        key, gt_mesh, outer, inner, outer_min, outer_inv_extent,
+        cfg.batch_size, radius, segments_per_ray=cfg.segments_per_ray,
+        global_row=global_row))
+    grad_jit = jax.jit(grad_step,
+                       donate_argnums=(0, 1) if donate else (1,))
+
+    def step(state: TrainState, key) -> tuple[TrainState, dict]:
+        return grad_jit(state, sample_jit(key))
+
+    return step
 
 
 def make_train_step_on_batch(cfg: TrainConfig, net_config: nbvh.NbvhConfig):

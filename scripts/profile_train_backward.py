@@ -131,5 +131,78 @@ def main():
           f"({B/t/1e6:6.2f} Mseg/s)")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--fused" not in sys.argv:
     main()
+    sys.exit(0)
+
+
+def bench_fused():
+    """Appended: fused Pallas fwd+bwd step throughput (run via
+    python scripts/profile_train_backward.py --fused)."""
+    cfg = load_config("configs/sphere/sphere_lane.json")
+    scene = Scene.from_config(cfg, sphere_fallback=False)
+    net_config = nbvh.NbvhConfig(
+        log2_hashmap_size=cfg.neural_network.log2_hashmap_size,
+        base_resolution=cfg.neural_network.base_resolution,
+        grid_type=cfg.neural_network.grid_type,
+        lane_sublanes=cfg.neural_network.lane_sublanes,
+        lane_entry_pack=cfg.neural_network.lane_entry_pack)
+    tcfg = TrainConfig()
+    gt = scene.original_mesh.to_arrays()
+    outer = scene.outer_shell.to_arrays()
+    inner = scene.inner_shell.to_arrays()
+    omin, inv, radius = segment_domain(scene)
+    grow = scene_global_row(scene)
+    state = init_train_state(tcfg, net_config)
+    opt = make_optimizer(tcfg)
+    key = jax.random.PRNGKey(0)
+    R = 10
+    from neural_renderer_tpu.ops.lane_grid_train_kernel import apply_train_fused
+    from neural_renderer_tpu.train.dataset import sample_segment_batch as ssb
+
+    for B in (16384, 65536, 262144):
+        batch = jax.jit(lambda k: ssb(k, gt, outer, inner, omin, inv, B,
+                                      radius, 1, grow))(key)
+        batch = jax.tree_util.tree_map(lambda x: x.block_until_ready(), batch)
+
+        # net-only: fused fwd+bwd+optimizer on a fixed batch
+        @jax.jit
+        def run_net(state, batch):
+            def body(i, st):
+                params, opt_state = st
+                def loss(p):
+                    out = apply_train_fused(p, batch.inputs, net_config)
+                    return shell_losses(out, batch)[0]
+                grads = jax.grad(loss)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state
+            return jax.lax.fori_loop(0, R, body,
+                                     (state.params, state.opt_state))
+        t = timeit(run_net, state, batch) / R
+        print(f"B={B:7d}  fused net-only: {t*1e3:7.2f} ms "
+              f"({B/t/1e6:6.2f} Mseg/s)")
+
+        # full step: sampler + fused grad + optimizer, chained in-jit
+        @jax.jit
+        def run_full(state, key):
+            def body(i, carry):
+                params, opt_state, k = carry
+                k, sub = jax.random.split(k)
+                b = ssb(sub, gt, outer, inner, omin, inv, B, radius, 1, grow)
+                def loss(p):
+                    out = apply_train_fused(p, b.inputs, net_config)
+                    return shell_losses(out, b)[0]
+                grads = jax.grad(loss)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, k
+            return jax.lax.fori_loop(0, R, body,
+                                     (state.params, state.opt_state, key))
+        t = timeit(run_full, state, key) / R
+        print(f"B={B:7d}  fused full step: {t*1e3:7.2f} ms "
+              f"({B/t/1e6:6.2f} Mseg/s)")
+
+
+if "__main__" == __name__ and "--fused" in sys.argv:
+    sys.argv.remove("--fused")
+    bench_fused()
+    sys.exit(0)

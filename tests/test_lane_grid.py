@@ -229,3 +229,74 @@ def test_lane_train_grads_flow_through_custom_vjp():
     lane_g = np.asarray(g["lane"], np.float32)
     assert np.isfinite(lane_g).all()
     assert (lane_g != 0).any()
+
+
+def test_fused_train_kernel_parity_interpret():
+    """Fused Pallas training forward+backward (ops/lane_grid_train_kernel)
+    vs the XLA twin, via interpret mode: forward must match to f32 rounding
+    and every parameter gradient within bf16 backprop tolerance. Input
+    cotangents are zeros by contract (training inputs are data)."""
+    cfg = nbvh.NbvhConfig(grid_type="lane", lane_sublanes=4,
+                          lane_entry_pack=2, log2_hashmap_size=10,
+                          base_resolution=8)
+    params = nbvh.init_params(jax.random.PRNGKey(0), cfg)
+    params["lane"] = params["lane"] * 1000.0  # non-trivial table values
+    x = jax.random.uniform(jax.random.PRNGKey(1), (12, 200))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (16, 200))
+    from neural_renderer_tpu.ops.lane_grid_train_kernel import \
+        apply_train_fused
+
+    out_f = apply_train_fused(params, x, cfg, interpret=True)
+    out_x = nbvh.apply(params, x, cfg, compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               atol=1e-5 * np.abs(np.asarray(out_x)).max())
+
+    def loss_fused(p):
+        return jnp.sum((apply_train_fused(p, x, cfg, interpret=True)
+                        - tgt) ** 2)
+
+    def loss_twin(p):
+        return jnp.sum((nbvh.apply(p, x, cfg,
+                                   compute_dtype=jnp.bfloat16) - tgt) ** 2)
+
+    gf = jax.grad(loss_fused)(params)
+    gt_ = jax.grad(loss_twin)(params)
+    a, b = np.asarray(gf["lane"], np.float32), np.asarray(gt_["lane"],
+                                                          np.float32)
+    assert np.abs(a - b).max() <= 2e-2 * (np.abs(b).max() + 1e-9)
+    for i in range(5):
+        a = np.asarray(gf["mlp"][i], np.float32)
+        b = np.asarray(gt_["mlp"][i], np.float32)
+        assert np.abs(a - b).max() <= 2e-2 * (np.abs(b).max() + 1e-9), i
+
+
+def test_fused_train_step_decreases_loss():
+    """make_train_step with fused_kernel='on' (interpret mode on CPU) runs
+    end-to-end and reduces the loss."""
+    from neural_renderer_tpu.train import (TrainConfig, init_train_state,
+                                           make_train_step, segment_domain)
+    from neural_renderer_tpu.scene.scene import Scene
+    from neural_renderer_tpu.scene.mesh_loader import generate_uv_sphere
+    from util import outward_sphere
+
+    scene = Scene()
+    scene.original_mesh = outward_sphere(8, 16, 1.0)
+    scene.inner_shell = outward_sphere(8, 16, 0.8)
+    scene.outer_shell = outward_sphere(8, 16, 1.2)
+    cfg = nbvh.NbvhConfig(grid_type="lane", lane_sublanes=2,
+                          log2_hashmap_size=10, base_resolution=4)
+    tcfg = TrainConfig(batch_size=256, steps=8, learning_rate=3e-3,
+                       fused_kernel="on")
+    omin, inv, radius = segment_domain(scene)
+    state = init_train_state(tcfg, cfg)
+    step = make_train_step(tcfg, cfg, scene.original_mesh.to_arrays(),
+                           scene.outer_shell.to_arrays(),
+                           scene.inner_shell.to_arrays(), omin, inv, radius,
+                           donate=False)
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub)
+        losses.append(float(metrics["total"]))
+    assert losses[-1] < losses[0]

@@ -168,3 +168,37 @@ def test_export_blob_loads_back(tmp_path):
     loaded = nbvh.load_flat_blob(path, net_config)
     np.testing.assert_allclose(np.asarray(state.params["mlp"][0]),
                                np.asarray(loaded["mlp"][0]), atol=2e-3)
+
+
+def test_sampler_sweep_matches_traced_oracle():
+    """The fused-sweep sampler (ONE dual-shell sweep per segment, entry +
+    segment-0 + re-entry derived from crossing alternation) must agree with
+    the literal 4-trace reference-shaped oracle on essentially every row —
+    only FP-grazing rays may differ (the march tolerates the same class).
+    Checked on concentric spheres (s=1) AND a non-convex multi-segment
+    case (s=3, offset shells so re-entries occur)."""
+    import jax
+    import numpy as np
+    from neural_renderer_tpu.train.dataset import sample_segment_batch
+    from util import outward_sphere
+
+    gt = outward_sphere(12, 24, 1.0).to_arrays()
+    outer = outward_sphere(10, 20, 1.2).to_arrays()
+    inner = outward_sphere(10, 20, 0.8).to_arrays()
+    omin = jnp.asarray([-1.2, -1.2, -1.2], jnp.float32)
+    inv = jnp.asarray([1 / 2.4] * 3, jnp.float32)
+    for s in (1, 2):
+        a = sample_segment_batch(jax.random.PRNGKey(7), gt, outer, inner,
+                                 omin, inv, 4096, 3.6, s, sweep=True)
+        b = sample_segment_batch(jax.random.PRNGKey(7), gt, outer, inner,
+                                 omin, inv, 4096, 3.6, s, sweep=False)
+        same_valid = np.mean(np.asarray(a.valid) == np.asarray(b.valid))
+        assert same_valid > 0.999, (s, same_valid)
+        both = np.asarray(a.valid) & np.asarray(b.valid)
+        pres_agree = np.mean(
+            np.asarray(a.presence)[both] == np.asarray(b.presence)[both])
+        assert pres_agree > 0.999, (s, pres_agree)
+        din = np.abs(np.asarray(a.inputs) - np.asarray(b.inputs))[:, both]
+        assert np.quantile(din, 0.999) < 1e-4, (s, np.quantile(din, 0.999))
+        dd = np.abs(np.asarray(a.distance) - np.asarray(b.distance))[both]
+        assert np.quantile(dd, 0.999) < 1e-4, (s, np.quantile(dd, 0.999))
