@@ -46,6 +46,41 @@ import time
 import numpy as np
 
 
+class MotionScaler:
+    """Interactive-preview resolution control (viewer.cu:258-318 parity in
+    spirit): while the camera moves, render at 1/`drop` resolution (rays
+    fall by drop^2 — e.g. 16x at drop 4, lifting a ~4 fps full-res scene to
+    interactive rates); `hold` seconds after the last motion, restore full
+    resolution and let progressive accumulation refine. Two fixed sizes
+    mean exactly two jit variants — no recompiles while flying."""
+
+    def __init__(self, width: int, height: int, drop: int = 4,
+                 hold: float = 0.25):
+        self.full = (width, height)
+        drop = max(1, int(drop))
+        # Keep the preview dimensions even so pixel-id math stays aligned.
+        self.preview = self.full if drop == 1 else (
+            max(2, width // drop // 2 * 2), max(2, height // drop // 2 * 2))
+        self.hold = hold
+        self._last_motion = -1e30
+
+    def update(self, moving: bool, now: float) -> tuple[int, int]:
+        if moving:
+            self._last_motion = now
+        if now - self._last_motion < self.hold and self.preview != self.full:
+            return self.preview
+        return self.full
+
+    def upscale(self, img: np.ndarray) -> np.ndarray:
+        """Nearest-upscale a preview frame to full display size."""
+        if img.shape[0] == self.full[1]:
+            return img
+        ry = max(1, self.full[1] // img.shape[0])
+        rx = max(1, self.full[0] // img.shape[1])
+        up = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
+        return up[:self.full[1], :self.full[0]]
+
+
 def build_renderer(args):
     from ..config import (camera_basis_from_state, load_config,
                           matrix_to_camera_state)
@@ -331,6 +366,8 @@ def run_interactive(args):
     plt.ion()
     plt.show()
 
+    scaler = MotionScaler(renderer.width, renderer.height,
+                          drop=args.motion_drop)
     last = time.monotonic()
     while not state["quit"] and plt.fignum_exists(fig.number):
         now = time.monotonic()
@@ -343,7 +380,11 @@ def run_interactive(args):
             m = trainer.run()
             loss = f" | loss {m.get('total', float('nan')):.4f}"
         renderer.set_camera_basis(current_basis())
-        img = renderer.render(controller.camera.position)
+        # Motion preview: drop resolution while flying, restore on rest
+        # (progressive accumulation then refines the full-res frame).
+        w, h = scaler.update(bool(pressed), now)
+        renderer.resize(w, h)
+        img = scaler.upscale(renderer.render(controller.camera.position))
         im.set_data(img)
         ax.set_title(f"{renderer.accum_sample_count} spp | "
                      f"{renderer.mrays_per_second:.0f} Mrays/s | "
@@ -367,6 +408,9 @@ def main(argv=None) -> int:
     parser.add_argument("--width", type=int, default=0)
     parser.add_argument("--height", type=int, default=0)
     parser.add_argument("--spp", type=int, default=1)
+    parser.add_argument("--motion-drop", type=int, default=4,
+                        help="interactive: divide resolution by this while "
+                             "the camera moves (1 disables)")
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel devices for pixel-stripe "
                              "rendering (height divisible by N)")

@@ -176,3 +176,24 @@ def test_controller_pitch_clamp_and_sensitivity():
     for _ in range(20):
         c.apply_mouse_delta(0.0, 99.0)
     assert c.camera.pitch == MAX_PITCH
+
+
+def test_motion_scaler():
+    """Interactive preview scaling: drops to 1/4 resolution during motion,
+    holds briefly, then restores full resolution; preview frames upscale to
+    the display size; drop=1 never changes size."""
+    from neural_renderer_tpu.cli.viewer import MotionScaler
+    import numpy as np
+
+    s = MotionScaler(1920, 1080, drop=4, hold=0.25)
+    assert s.update(False, 0.0) == (1920, 1080)
+    assert s.update(True, 1.0) == (480, 270)
+    assert s.update(False, 1.1) == (480, 270)    # still within hold
+    assert s.update(False, 1.3) == (1920, 1080)  # restored
+    up = s.upscale(np.zeros((270, 480, 3), np.uint8))
+    assert up.shape == (1080, 1920, 3)
+    full = s.upscale(np.zeros((1080, 1920, 3), np.uint8))
+    assert full.shape == (1080, 1920, 3)
+
+    s1 = MotionScaler(637, 353, drop=1)
+    assert s1.update(True, 0.0) == (637, 353)
