@@ -36,6 +36,13 @@ def main(argv=None) -> int:
     parser.add_argument("--ckpt", default="",
                         help="weights to load (flat FP16 blob or orbax dir), "
                              "overriding the config's checkpoint_path")
+    parser.add_argument("--no-additional", action="store_true",
+                        help="disable the additional mesh in the NEURAL "
+                             "pass. The GT pass never traces it (reference "
+                             "parity: the GT branch is classic-mesh only, "
+                             "cuda_renderer_neural.cu:2546), so configs "
+                             "with a populated additional_mesh need this "
+                             "for an apples-to-apples PSNR/FLIP gate")
     parser.add_argument("--profile", action="store_true",
                         help="print the per-kernel timing table (ns/ray + "
                              "Mrays, the PROFILE_KERNELS categories) after "
@@ -77,6 +84,8 @@ def main(argv=None) -> int:
               f"({jax.devices()[0].platform})")
     renderer.set_constant_neural_color(cfg.material.use_constant_neural_color,
                                        cfg.material.constant_neural_color)
+    if args.no_additional:
+        renderer.set_use_additional_mesh(False)
     renderer.resize(args.width, args.height)
     renderer.set_bounce_count(bounce_count)
     renderer.set_lambert_view(False)

@@ -287,7 +287,7 @@ def main(out_dir="configs/studio"):
         "material": {"base_color": [0.62, 0.62, 0.60], "roughness": 0.55},
     }
     lane = dict(base)
-    lane["checkpoint_path"] = "lane_ckpt/step_24000"
+    lane["checkpoint_path"] = "lane_ckpt/step_4000"
     lane["neural_network"] = {
         "log2_hashmap_size": 14, "base_resolution": 16,
         "use_neural_query": True, "grid_type": "lane",

@@ -29,6 +29,12 @@ _enable_cache()
 
 import jax  # noqa: E402
 
+# NR_TEST_CPU=1 pins the whole test process to the CPU backend (the
+# JAX_PLATFORMS env var is ignored under axon) — used to run the suite
+# concurrently with TPU benchmarks/training without device contention.
+if os.environ.get("NR_TEST_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
