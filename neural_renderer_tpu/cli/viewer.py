@@ -75,10 +75,11 @@ class MotionScaler:
         """Nearest-upscale a preview frame to full display size."""
         if img.shape[0] == self.full[1]:
             return img
-        ry = max(1, self.full[1] // img.shape[0])
-        rx = max(1, self.full[0] // img.shape[1])
-        up = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
-        return up[:self.full[1], :self.full[0]]
+        # Index-map nearest upscale: exact full-size output even when the
+        # full dims are not integer multiples of the preview dims.
+        ys = (np.arange(self.full[1]) * img.shape[0]) // self.full[1]
+        xs = (np.arange(self.full[0]) * img.shape[1]) // self.full[0]
+        return img[ys[:, None], xs[None, :]]
 
 
 def build_renderer(args):

@@ -103,17 +103,6 @@ def sample_segment_batch(key, gt_mesh, outer, inner, outer_min, outer_inv_extent
         entry_t0 = jnp.where(valid, sw0.outer_fwd, 0.0)
         entry_pos = o + d * entry_t0[None, :]
         entry_abs = entry_t0
-        # GT once from the origin; no original-mesh surface precedes the
-        # entry (the mesh lies inside the outer shell). Later segments
-        # re-trace ONLY rays whose hit was consumed by the previous segment
-        # (`inside`): the gap between an exit and its re-entry is outside
-        # the outer shell, where the original mesh cannot be — so an
-        # unconsumed hit is still the first one beyond the next entry.
-        res_gt0 = traversal.trace_mesh(gt_mesh, o, d, traversal.ANY,
-                                       active=valid, presorted=True)
-        gt_abs = jnp.where(res_gt0.hit, res_gt0.t, 1e30)
-        gt_hit_c = res_gt0.hit
-        gt_tri_c, gt_u_c, gt_v_c = res_gt0.tri, res_gt0.u, res_gt0.v
     else:
         # Shell entry (camera-style FORWARD_ONLY).
         res_entry = traversal.trace_mesh(outer, o, d, traversal.FORWARD_ONLY)
@@ -136,6 +125,15 @@ def sample_segment_batch(key, gt_mesh, outer, inner, outer_min, outer_inv_extent
                                SEGMENT_EPSILON)
             re_t = jnp.where(sw0.outer_fwd2 < 1e30,
                              sw0.outer_fwd2 - base, 1e30)
+            # GT from the SHIFTED entry (exactly the oracle's trace): a GT
+            # surface poking outside the coarse outer shell would otherwise
+            # be clamped to t=0 with presence=1 and a stale normal.
+            res_gt0 = traversal.trace_mesh(gt_mesh, shifted_entry, d,
+                                           traversal.ANY, active=valid,
+                                           presorted=True)
+            gt_abs = jnp.where(res_gt0.hit, base + res_gt0.t, 1e30)
+            gt_hit_c = res_gt0.hit
+            gt_tri_c, gt_u_c, gt_v_c = res_gt0.tri, res_gt0.u, res_gt0.v
             gt_hit = gt_hit_c
             gt_t = jnp.maximum(gt_abs - base, 0.0)
             gt_tri, gt_u, gt_v = gt_tri_c, gt_u_c, gt_v_c
@@ -150,19 +148,27 @@ def sample_segment_batch(key, gt_mesh, outer, inner, outer_min, outer_inv_extent
                                SEGMENT_EPSILON)
             re_t = sw.outer_fwd  # relative to shifted_entry; used below
             base = entry_abs + SEGMENT_EPSILON
-            # Conditional GT re-trace: only rays whose carried hit was
-            # consumed (set below when the previous row was built).
+            # Conditional GT re-trace: rays whose carried hit was consumed
+            # (set below when the previous row was built), plus rays whose
+            # carried hit now lies BEFORE the new entry. The carry argument
+            # (an unconsumed hit is still the first beyond the next entry)
+            # holds only when the GT surface is strictly inside the shell
+            # volume; generated shells are coarse and that invariant is not
+            # guaranteed, and clamping a stale hit to t=0 would emit
+            # presence=1 rows with zeroed distance and a stale normal.
+            stale = gt_hit_c & (gt_abs < base - SEGMENT_EPSILON)
+            refresh = gt_consumed | stale
             res_gt = traversal.trace_mesh(gt_mesh, shifted_entry, d,
                                           traversal.ANY,
-                                          active=valid & gt_consumed,
+                                          active=valid & refresh,
                                           presorted=True)
-            gt_abs = jnp.where(gt_consumed,
+            gt_abs = jnp.where(refresh,
                                jnp.where(res_gt.hit, base + res_gt.t, 1e30),
                                gt_abs)
-            gt_hit_c = jnp.where(gt_consumed, res_gt.hit, gt_hit_c)
-            gt_tri_c = jnp.where(gt_consumed, res_gt.tri, gt_tri_c)
-            gt_u_c = jnp.where(gt_consumed, res_gt.u, gt_u_c)
-            gt_v_c = jnp.where(gt_consumed, res_gt.v, gt_v_c)
+            gt_hit_c = jnp.where(refresh, res_gt.hit, gt_hit_c)
+            gt_tri_c = jnp.where(refresh, res_gt.tri, gt_tri_c)
+            gt_u_c = jnp.where(refresh, res_gt.u, gt_u_c)
+            gt_v_c = jnp.where(refresh, res_gt.v, gt_v_c)
             gt_hit = gt_hit_c
             gt_t = jnp.maximum(gt_abs - base, 0.0)
             gt_tri, gt_u, gt_v = gt_tri_c, gt_u_c, gt_v_c

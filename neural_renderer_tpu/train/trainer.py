@@ -101,7 +101,7 @@ def resolve_fused(cfg: TrainConfig, net_config: nbvh.NbvhConfig):
     if cfg.fused_kernel == "off" or net_config.grid_type != "lane":
         return False, False
     import jax as _jax
-    on_tpu = _jax.default_backend() not in ("cpu",)
+    on_tpu = _jax.default_backend() == "tpu"
     if cfg.fused_kernel == "on":
         return True, not on_tpu
     return on_tpu, False

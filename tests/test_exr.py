@@ -359,3 +359,27 @@ def test_envmap_dispatch_piz(tmp_path):
     env.load_from_file(p)
     assert env.is_valid
     np.testing.assert_array_equal(env.pixels, img)
+
+
+def test_piz_reference_fixture():
+    """Decode PIZ/PXR24 files produced by the REAL OpenEXR 3.1 library
+    (generated by scripts/make_exr_fixture.py with the system libOpenEXR;
+    checked in as tests/golden/*_reference.exr). Closes the mutual-inverse
+    risk of validating the codecs only against this repo's own encoder
+    (ADVICE r3): PIZ must match the regenerated pattern bit-exactly; PXR24
+    to its 24-bit mantissa truncation."""
+    import os
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(os.path.dirname(here), "scripts"))
+    from make_exr_fixture import reference_pattern
+    img = reference_pattern()
+
+    piz = os.path.join(here, "golden", "piz_reference.exr")
+    got = read_exr(piz)
+    np.testing.assert_array_equal(got, img)
+
+    pxr = os.path.join(here, "golden", "pxr24_reference.exr")
+    got = read_exr(pxr)
+    expect = (img.view(np.uint32) & 0xFFFFFF00).view(np.float32)
+    np.testing.assert_array_equal(got, expect)

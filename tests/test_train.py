@@ -180,25 +180,77 @@ def test_sampler_sweep_matches_traced_oracle():
     import jax
     import numpy as np
     from neural_renderer_tpu.train.dataset import sample_segment_batch
-    from util import outward_sphere
+    from util import outward_sphere, two_lobe_sphere
+
+    def check(gt, outer, inner, omin, inv, radius, s_values):
+        for s in s_values:
+            a = sample_segment_batch(jax.random.PRNGKey(7), gt, outer, inner,
+                                     omin, inv, 4096, radius, s, sweep=True)
+            b = sample_segment_batch(jax.random.PRNGKey(7), gt, outer, inner,
+                                     omin, inv, 4096, radius, s, sweep=False)
+            same_valid = np.mean(np.asarray(a.valid) == np.asarray(b.valid))
+            assert same_valid > 0.999, (s, same_valid)
+            both = np.asarray(a.valid) & np.asarray(b.valid)
+            pres_agree = np.mean(
+                np.asarray(a.presence)[both] == np.asarray(b.presence)[both])
+            assert pres_agree > 0.999, (s, pres_agree)
+            agree = both & (np.asarray(a.presence) == np.asarray(b.presence))
+            din = np.abs(np.asarray(a.inputs) - np.asarray(b.inputs))[:, both]
+            assert np.quantile(din, 0.999) < 1e-4, (s, np.quantile(din, 0.999))
+            dd = np.abs(np.asarray(a.distance)
+                        - np.asarray(b.distance))[agree]
+            assert np.quantile(dd, 0.999) < 1e-4, (s, np.quantile(dd, 0.999))
 
     gt = outward_sphere(12, 24, 1.0).to_arrays()
     outer = outward_sphere(10, 20, 1.2).to_arrays()
     inner = outward_sphere(10, 20, 0.8).to_arrays()
     omin = jnp.asarray([-1.2, -1.2, -1.2], jnp.float32)
     inv = jnp.asarray([1 / 2.4] * 3, jnp.float32)
-    for s in (1, 2):
-        a = sample_segment_batch(jax.random.PRNGKey(7), gt, outer, inner,
-                                 omin, inv, 4096, 3.6, s, sweep=True)
-        b = sample_segment_batch(jax.random.PRNGKey(7), gt, outer, inner,
-                                 omin, inv, 4096, 3.6, s, sweep=False)
-        same_valid = np.mean(np.asarray(a.valid) == np.asarray(b.valid))
-        assert same_valid > 0.999, (s, same_valid)
-        both = np.asarray(a.valid) & np.asarray(b.valid)
-        pres_agree = np.mean(
-            np.asarray(a.presence)[both] == np.asarray(b.presence)[both])
-        assert pres_agree > 0.999, (s, pres_agree)
-        din = np.abs(np.asarray(a.inputs) - np.asarray(b.inputs))[:, both]
-        assert np.quantile(din, 0.999) < 1e-4, (s, np.quantile(din, 0.999))
-        dd = np.abs(np.asarray(a.distance) - np.asarray(b.distance))[both]
-        assert np.quantile(dd, 0.999) < 1e-4, (s, np.quantile(dd, 0.999))
+    check(gt, outer, inner, omin, inv, 3.6, (1, 2))
+
+    # Non-convex offset shells: two disjoint lobes, so rays through both get
+    # genuine RE-ENTRIES and segments 2/3 exercise the GT carry-over.
+    gt2 = two_lobe_sphere(1.0, 1.5).to_arrays()
+    out2 = two_lobe_sphere(1.2, 1.5).to_arrays()
+    in2 = two_lobe_sphere(0.8, 1.5).to_arrays()
+    omin2 = jnp.asarray([-2.7, -1.2, -1.2], jnp.float32)
+    inv2 = jnp.asarray([1 / 5.4, 1 / 2.4, 1 / 2.4], jnp.float32)
+    check(gt2, out2, in2, omin2, inv2, 4.5, (3,))
+
+
+def test_sampler_sweep_gt_outside_shell():
+    """GT surface poking OUTSIDE the coarse outer shell (radius 1.3 lobes vs
+    1.2 shells): a carried GT hit can lie BEFORE a later segment's entry.
+    The old carry clamped it to t=0 (presence=1, distance=0, stale normal);
+    the guarded sampler must match the literal re-tracing oracle instead."""
+    import jax
+    import numpy as np
+    from neural_renderer_tpu.train.dataset import sample_segment_batch
+    from util import two_lobe_sphere
+
+    # GT lobes shifted inward (offset 1.25 vs shells at 1.5): each GT lobe
+    # pokes out of its outer shell into the inter-lobe gap, so a ray that
+    # exits lobe A with an unconsumed GT hit and re-enters lobe B carries a
+    # hit lying BEFORE the new entry.
+    gt = two_lobe_sphere(1.0, 1.25).to_arrays()
+    outer = two_lobe_sphere(1.2, 1.5).to_arrays()
+    inner = two_lobe_sphere(0.8, 1.5).to_arrays()
+    omin = jnp.asarray([-2.7, -1.2, -1.2], jnp.float32)
+    inv = jnp.asarray([1 / 5.4, 1 / 2.4, 1 / 2.4], jnp.float32)
+    a = sample_segment_batch(jax.random.PRNGKey(3), gt, outer, inner,
+                             omin, inv, 4096, 4.5, 3, sweep=True)
+    b = sample_segment_batch(jax.random.PRNGKey(3), gt, outer, inner,
+                             omin, inv, 4096, 4.5, 3, sweep=False)
+    both = np.asarray(a.valid) & np.asarray(b.valid)
+    pres_agree = np.mean(
+        np.asarray(a.presence)[both] == np.asarray(b.presence)[both])
+    assert pres_agree > 0.995, pres_agree
+    # Fixture sanity: the scene must actually produce presence rows.
+    assert np.asarray(a.presence)[both].sum() > 50
+    # No presence row may carry a zeroed distance with a nonzero GT surface
+    # in front (the stale-clamp signature): distances on agreeing rows match.
+    agree = both & (np.asarray(a.presence) == np.asarray(b.presence))
+    pa = np.asarray(a.presence)[agree] > 0
+    assert pa.sum() > 0
+    dd = np.abs(np.asarray(a.distance) - np.asarray(b.distance))[agree][pa]
+    assert np.quantile(dd, 0.995) < 1e-3, np.quantile(dd, 0.995)

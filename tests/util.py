@@ -18,6 +18,25 @@ def outward_sphere(stacks=10, slices=20, radius=1.0):
     return mesh
 
 
+def two_lobe_sphere(radius: float, offset: float, stacks=10, slices=20):
+    """Union of two disjoint spheres at x = ±offset — a non-convex closed
+    surface with up to four crossings per ray (re-entries occur)."""
+    from neural_renderer_tpu.scene.mesh import Mesh
+
+    a = outward_sphere(stacks, slices, radius)
+    b = outward_sphere(stacks, slices, radius)
+    a.vertices = (a.vertices - np.array([offset, 0, 0], np.float32)).astype(np.float32)
+    b.vertices = (b.vertices + np.array([offset, 0, 0], np.float32)).astype(np.float32)
+    m = Mesh()
+    m.vertices = np.concatenate([a.vertices, b.vertices]).astype(np.float32)
+    if a.has_normals:
+        m.normals = np.concatenate([a.normals, b.normals]).astype(np.float32)
+    m.indices = np.concatenate(
+        [a.indices, b.indices + a.num_vertices]).astype(np.uint32)
+    m.mark_dirty()
+    return m
+
+
 def crafted_net_params(config: nbvh.NbvhConfig, presence: float,
                        distance: float = 0.0):
     """Network with zero hash grids whose output is constant:
