@@ -28,26 +28,25 @@ NORMAL_ALPHA = 64.0
 SIGMA_ALBEDO = 0.1
 
 
-def bilateral_denoise(accum, accum_count, guide_normals, guide_albedo):
-    """accum: [3, H, W] linear HDR sums; accum_count: scalar; guides
-    [3, H, W]. Returns denoised u8 image [H, W, 3]."""
-    inv_accum = 1.0 / jnp.maximum(1.0, accum_count)
-    color = accum * inv_accum
+def _bilateral_core(color_p, normals_p, albedo_p, valid_p, h: int, w: int):
+    """Stencil core on PRE-PADDED arrays: *_p are [3, h+2r, w+2r] (valid_p
+    [h+2r, w+2r]); rows/cols outside the true image carry valid=0 and get
+    zero tap weight (the reference's window clipping, denoiser.cuh:55-63).
+    Returns the denoised linear-HDR center [3, h, w].
 
+    The padded rows need not be zero: the tiled path fills them with real
+    neighbor-stripe rows (valid=1), which is exactly how the stencil sees
+    interior rows on a single device — so stripe and whole-frame runs are
+    the same math per pixel."""
     r = DENOISE_RADIUS
     inv_ss2 = 1.0 / (2.0 * SIGMA_SPATIAL * SIGMA_SPATIAL)
     inv_sa2 = 1.0 / (2.0 * SIGMA_ALBEDO * SIGMA_ALBEDO)
 
-    # Zero-pad; padded taps get zero weight via a validity mask (matches the
-    # reference's window clipping at image borders).
-    pad = ((0, 0), (r, r), (r, r))
-    color_p = jnp.pad(color, pad)
-    normals_p = jnp.pad(guide_normals, pad)
-    albedo_p = jnp.pad(guide_albedo, pad)
-    valid_p = jnp.pad(jnp.ones(color.shape[1:], color.dtype),
-                      ((r, r), (r, r)))
+    center = (slice(None), slice(r, r + h), slice(r, r + w))
+    color = color_p[center]
+    guide_normals = normals_p[center]
+    guide_albedo = albedo_p[center]
 
-    h, w = color.shape[1:]
     weighted = jnp.zeros_like(color)
     total_w = jnp.zeros(color.shape[1:], color.dtype)
 
@@ -70,6 +69,22 @@ def bilateral_denoise(accum, accum_count, guide_normals, guide_albedo):
             weighted = weighted + n_color * wgt[None, :, :]
             total_w = total_w + wgt
 
-    out = jnp.where(total_w[None] > 0.0,
-                    weighted / jnp.maximum(total_w, 1e-20)[None], color)
+    return jnp.where(total_w[None] > 0.0,
+                     weighted / jnp.maximum(total_w, 1e-20)[None], color)
+
+
+def bilateral_denoise(accum, accum_count, guide_normals, guide_albedo):
+    """accum: [3, H, W] linear HDR sums; accum_count: scalar; guides
+    [3, H, W]. Returns denoised u8 image [H, W, 3]."""
+    inv_accum = 1.0 / jnp.maximum(1.0, accum_count)
+    color = accum * inv_accum
+
+    r = DENOISE_RADIUS
+    h, w = color.shape[1:]
+    pad = ((0, 0), (r, r), (r, r))
+    out = _bilateral_core(
+        jnp.pad(color, pad), jnp.pad(guide_normals, pad),
+        jnp.pad(guide_albedo, pad),
+        jnp.pad(jnp.ones(color.shape[1:], color.dtype), ((r, r), (r, r))),
+        h, w)
     return encode_srgb_u8(out).transpose(1, 2, 0)

@@ -44,64 +44,134 @@ def make_mesh(devices=None, dp: int | None = None, tp: int = 1,
 # ---------------------------------------------------------------------------
 
 def render_gt_frame_tiled(mesh_arrays, env, params, accum, mesh: Mesh,
-                          axis: str = "dp"):
+                          axis: str = "dp", return_guides: bool = False):
     """Ground-truth frame with pixel rows sharded across `axis`.
 
     accum: [3, H*W] channel-major (replicated or sharded — resharded as
     needed). Returns (image_u8 [H, W, 3], new_accum [3, H*W]) with the stripe
-    all-gather inserted by XLA.
-    """
+    all-gather inserted by XLA. return_guides additionally yields the
+    denoiser guide buffers (normals, albedo) as row-sharded [3, H, W]."""
     n_shards = mesh.shape[axis]
     h, w = params.height, params.width
     assert h % n_shards == 0, f"height {h} not divisible by {n_shards} shards"
     rows_per = h // n_shards
 
     accum_img = accum.reshape(3, h, w)
+    guide_spec = (P(None, axis, None), P(None, axis, None))
 
     @partial(jax.shard_map, mesh=mesh, check_vma=False,
              in_specs=(P(), P(), P(), P(None, axis, None)),
-             out_specs=(P(axis, None, None), P(None, axis, None)))
+             out_specs=((P(axis, None, None), P(None, axis, None)) +
+                        (guide_spec if return_guides else ())))
     def shard_fn(mesh_a, env_a, params_a, accum_shard):
         row0 = jax.lax.axis_index(axis) * rows_per
-        img, acc = pathtrace.render_gt_frame(
+        out = pathtrace.render_gt_frame(
             mesh_a, env_a, params_a, accum_shard.reshape(3, -1),
-            row0=row0, n_rows=rows_per)
+            row0=row0, n_rows=rows_per, return_guides=return_guides)
+        if return_guides:
+            img, acc, (gn, ga) = out
+            return img, acc.reshape(3, rows_per, w), gn, ga
+        img, acc = out
         return img, acc.reshape(3, rows_per, w)
 
-    img, acc = shard_fn(mesh_arrays, env, params, accum_img)
+    out = shard_fn(mesh_arrays, env, params, accum_img)
+    if return_guides:
+        img, acc, gn, ga = out
+        return img, acc.reshape(3, -1), (gn, ga)
+    img, acc = out
     return img, acc.reshape(3, -1)
 
 
 def render_neural_frame_tiled(ctx, additional_mesh, env, params, accum,
                               mesh: Mesh, axis: str = "dp",
                               use_additional: bool = False,
-                              compute_dtype=jnp.bfloat16):
+                              compute_dtype=jnp.bfloat16,
+                              return_guides: bool = False):
     """NEURAL frame (shell march + bounces) with pixel rows sharded across
     `axis` — the flagship path's multi-chip story. Global pixel-id RNG makes
     the stripe render bit-identical to the single-chip frame; shell meshes
     and network weights are replicated (they're small), pixels are the DP
-    axis, and the only collective is the output all-gather XLA inserts."""
+    axis, and the only collective is the output all-gather XLA inserts.
+    return_guides additionally yields the denoiser guide buffers (normals,
+    albedo) as row-sharded [3, H, W] for bilateral_denoise_tiled."""
     n_shards = mesh.shape[axis]
     h, w = params.height, params.width
     assert h % n_shards == 0, f"height {h} not divisible by {n_shards} shards"
     rows_per = h // n_shards
 
     accum_img = accum.reshape(3, h, w)
+    guide_spec = (P(None, axis, None), P(None, axis, None))
 
     @partial(jax.shard_map, mesh=mesh, check_vma=False,
              in_specs=(P(), P(), P(), P(), P(None, axis, None)),
-             out_specs=(P(axis, None, None), P(None, axis, None)))
+             out_specs=((P(axis, None, None), P(None, axis, None)) +
+                        (guide_spec if return_guides else ())))
     def shard_fn(ctx_a, add_a, env_a, params_a, accum_shard):
         row0 = jax.lax.axis_index(axis) * rows_per
         from ..render.neural_frame import render_neural_frame
-        img, acc = render_neural_frame(
+        out = render_neural_frame(
             ctx_a, add_a, env_a, params_a, accum_shard.reshape(3, -1),
             use_additional=use_additional, compute_dtype=compute_dtype,
-            row0=row0, n_rows=rows_per)
+            row0=row0, n_rows=rows_per, return_guides=return_guides)
+        if return_guides:
+            img, acc, (gn, ga) = out
+            return img, acc.reshape(3, rows_per, w), gn, ga
+        img, acc = out
         return img, acc.reshape(3, rows_per, w)
 
-    img, acc = shard_fn(ctx, additional_mesh, env, params, accum_img)
+    out = shard_fn(ctx, additional_mesh, env, params, accum_img)
+    if return_guides:
+        img, acc, gn, ga = out
+        return img, acc.reshape(3, -1), (gn, ga)
+    img, acc = out
     return img, acc.reshape(3, -1)
+
+
+def bilateral_denoise_tiled(accum, accum_count, guide_normals, guide_albedo,
+                            mesh: Mesh, axis: str = "dp"):
+    """Joint bilateral denoiser with pixel rows sharded across `axis`
+    (VERDICT r3 item 8 — the last frame mode excluded from the tiled path).
+
+    The 11x11 stencil (radius r=5, denoiser.cuh:31-34 parameters) needs r
+    rows of context above and below each stripe: every shard exchanges its
+    edge rows with its row-neighbors via TWO `ppermute`s (one per direction,
+    riding ICI) — color, guide normals, guide albedo and a validity row are
+    concatenated into one [10, r, W] message per direction so each halo is a
+    single collective. Boundary shards receive zeros (ppermute's unpaired
+    default) with validity 0, which is exactly the whole-frame border
+    clipping, so the tiled result is the same stencil math per pixel as the
+    single-device `bilateral_denoise`.
+
+    accum/guides: [3, H, W]; returns the denoised u8 image [H, W, 3]."""
+    from ..ops.denoise import DENOISE_RADIUS as R
+    from ..ops.denoise import _bilateral_core
+    from ..ops.srgb import encode_srgb_u8
+
+    n_shards = mesh.shape[axis]
+    _, h, w = accum.shape
+    assert h % n_shards == 0, f"height {h} not divisible by {n_shards} shards"
+    rows_per = h // n_shards
+    assert rows_per >= R, f"stripe rows {rows_per} < stencil radius {R}"
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(None, axis, None), P(), P(None, axis, None),
+                       P(None, axis, None)),
+             out_specs=P(axis, None, None))
+    def shard_fn(acc_s, count, nrm_s, alb_s):
+        color = acc_s / jnp.maximum(1.0, count)
+        valid = jnp.ones((1, rows_per, w), color.dtype)
+        stack = jnp.concatenate([color, nrm_s, alb_s, valid], axis=0)
+        halo_up = jax.lax.ppermute(stack[:, -R:, :], axis, fwd)
+        halo_dn = jax.lax.ppermute(stack[:, :R, :], axis, bwd)
+        ext = jnp.concatenate([halo_up, stack, halo_dn], axis=1)
+        ext = jnp.pad(ext, ((0, 0), (0, 0), (R, R)))
+        out = _bilateral_core(ext[0:3], ext[3:6], ext[6:9], ext[9],
+                              rows_per, w)
+        return encode_srgb_u8(out).transpose(1, 2, 0)
+
+    return shard_fn(accum, accum_count, guide_normals, guide_albedo)
 
 
 def psnr_tiled(ref_u8, test_u8, mesh: Mesh, axis: str = "dp"):

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..config import NeuralNetworkConfig
 from ..models import nbvh
+from ..ops.denoise import DENOISE_RADIUS as _DENOISE_RADIUS
 from ..scene.scene import Scene
 from .neural_frame import render_neural_frame, render_neural_lambert
 from .neural_march import NeuralContext
@@ -160,19 +161,28 @@ class Renderer:
             return
         from ..parallel import shardings as par
 
-        def gt_tiled(mesh_arrays, env, params, accum):
+        def gt_tiled(mesh_arrays, env, params, accum, return_guides=False):
             return par.render_gt_frame_tiled(mesh_arrays, env, params, accum,
-                                             mesh, axis)
+                                             mesh, axis,
+                                             return_guides=return_guides)
 
         def neural_tiled(ctx, add, env, params, accum, use_additional,
-                         compute_dtype):
+                         compute_dtype, return_guides=False):
             return par.render_neural_frame_tiled(
                 ctx, add, env, params, accum, mesh, axis,
-                use_additional=use_additional, compute_dtype=compute_dtype)
+                use_additional=use_additional, compute_dtype=compute_dtype,
+                return_guides=return_guides)
 
-        self._jit_gt_tiled = jax.jit(gt_tiled)
+        def denoise_tiled(accum_img, count, normals, albedo):
+            return par.bilateral_denoise_tiled(accum_img, count, normals,
+                                               albedo, mesh, axis)
+
+        self._jit_gt_tiled = jax.jit(gt_tiled,
+                                     static_argnames=("return_guides",))
         self._jit_neural_tiled = jax.jit(
-            neural_tiled, static_argnames=("use_additional", "compute_dtype"))
+            neural_tiled, static_argnames=("use_additional", "compute_dtype",
+                                           "return_guides"))
+        self._jit_denoise_tiled = jax.jit(denoise_tiled)
 
     def _use_tiled(self) -> bool:
         """Whether this frame runs the multi-device tiled path. A user who
@@ -184,11 +194,14 @@ class Renderer:
         reason = None
         if self.lambert_view:
             reason = "lambert view renders single-device"
-        elif self.denoise:
-            reason = "denoised frames need single-device guide buffers"
         elif self.height % self.device_mesh.shape[self.mesh_axis] != 0:
             reason = (f"height {self.height} not divisible by dp="
                       f"{self.device_mesh.shape[self.mesh_axis]}")
+        elif self.denoise and (self.height
+                               // self.device_mesh.shape[self.mesh_axis]
+                               < _DENOISE_RADIUS):
+            reason = ("denoised stripes need >= stencil-radius rows per "
+                      "shard")
         if reason is None:
             return True
         self._tiled_fallback_frames += 1
@@ -349,6 +362,7 @@ class Renderer:
         t0 = time.perf_counter()
         neural_ready = (self.use_neural_query
                         and self.scene.outer_shell.num_triangles > 0)
+        tiled = self._use_tiled()
         if neural_ready:
             ctx = NeuralContext(outer=self._mesh_arrays("outer_shell"),
                                 inner=self._mesh_arrays("inner_shell"),
@@ -362,12 +376,13 @@ class Renderer:
                     compute_dtype=self.compute_dtype)
                 self._accum_sample_count = 0
             elif self.denoise:
-                img, self._accum, self._guides = self._jit_neural(
+                fn = self._jit_neural_tiled if tiled else self._jit_neural
+                img, self._accum, self._guides = fn(
                     ctx, add, env, params, self._accum,
                     use_additional=use_add, compute_dtype=self.compute_dtype,
                     return_guides=True)
                 self._accum_sample_count += self.samples_per_pixel
-            elif self._use_tiled():
+            elif tiled:
                 img, self._accum = self._jit_neural_tiled(
                     ctx, add, env, params, self._accum,
                     use_additional=use_add, compute_dtype=self.compute_dtype)
@@ -383,10 +398,11 @@ class Renderer:
                 img = self._jit_gt_lambert(mesh, env, params)
                 self._accum_sample_count = 0
             elif self.denoise:
-                img, self._accum, self._guides = self._jit_gt(
+                fn = self._jit_gt_tiled if tiled else self._jit_gt
+                img, self._accum, self._guides = fn(
                     mesh, env, params, self._accum, return_guides=True)
                 self._accum_sample_count += self.samples_per_pixel
-            elif self._use_tiled():
+            elif tiled:
                 img, self._accum = self._jit_gt_tiled(mesh, env, params,
                                                       self._accum)
                 self._accum_sample_count += self.samples_per_pixel
@@ -396,7 +412,8 @@ class Renderer:
 
         if self.denoise and not self.lambert_view and self._guides is not None:
             normals, albedo = self._guides
-            img = self._jit_denoise(
+            fn = self._jit_denoise_tiled if tiled else self._jit_denoise
+            img = fn(
                 self._accum.reshape(3, self.height, self.width),
                 jnp.float32(self._accum_sample_count), normals, albedo)
         img = np.asarray(jax.block_until_ready(img))

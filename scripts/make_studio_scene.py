@@ -69,8 +69,14 @@ def torus_mesh(tube_r: float, nu: int, nv: int, u_range=(0.0, 2 * np.pi)):
             j2 = (j + 1) % nv
             a, b = i * nv + j, i * nv + j2
             c, d = i2 * nv + j, i2 * nv + j2
-            tris.append([a, c, b])
-            tris.append([b, c, d])
+            # Outward winding: cross(e1, e2) must point along the analytic
+            # tube normal n3, so FORWARD (front-facing) crossings are the
+            # tracer's shell ENTRIES. The round-3 winding ([a,c,b]/[b,c,d])
+            # faced inward, which silently inverted every shell segment the
+            # studio sampler generated (entries at exits) — the real root of
+            # the 19 dB "normal-map cliff" (BASELINE.md round 4).
+            tris.append([a, b, c])
+            tris.append([b, d, c])
     return (verts.astype(np.float32), normals.astype(np.float32),
             uvs.astype(np.float32), np.asarray(tris, np.uint32))
 
@@ -84,10 +90,22 @@ def checker_texture(size=256, tiles=8):
     return (img * 255 + 0.5).astype(np.uint8)
 
 
-def ripple_normal_map(size=256, freq=12.0, amp=0.35):
+def ripple_normal_map(size=256, freq=12.0, slope=1.2):
+    """Sinusoidal-height-field normal map: h = A·sin(2πf·u) (+ half-amp in v),
+    encoded as tangent-space normals.
+
+    `slope` is the MAX surface gradient |dh| — the physically meaningful
+    knob. slope=1.2 tilts normals up to ~50° (a strong, clearly visible
+    ripple; real-world asset territory). The round-3 fixture passed the
+    HEIGHT amplitude (0.35) through ·2πf, giving slopes of ~26: normals a
+    mean 86° off the geometric normal, spinning at freq 12 — an unphysical
+    field no 8-level hash encoding (nor the reference's tcnn config,
+    cuda_renderer_neural.cu:1635-1686) can represent, which capped the
+    studio scene at 19 dB. That map is kept as `slope=26.4` (the stress
+    variant) for the BASELINE.md ablation."""
     y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
-    dzdx = amp * 2 * np.pi * freq * np.cos(2 * np.pi * freq * x)
-    dzdy = amp * 2 * np.pi * freq * np.cos(2 * np.pi * freq * y) * 0.5
+    dzdx = slope * np.cos(2 * np.pi * freq * x)
+    dzdy = slope * np.cos(2 * np.pi * freq * y) * 0.5
     n = np.stack([-dzdx, -dzdy, np.ones_like(x)], -1)
     n /= np.linalg.norm(n, axis=-1, keepdims=True)
     return ((n * 0.5 + 0.5) * 255 + 0.5).astype(np.uint8)

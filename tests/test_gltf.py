@@ -137,3 +137,77 @@ def test_gltf_no_triangles_raises(tmp_path):
     from neural_renderer_tpu.scene.mesh_loader import MeshLoadError
     with pytest.raises(MeshLoadError):
         load_gltf_with_materials(str(path))
+
+
+def test_gltf_sparse_accessor(tmp_path):
+    """Sparse POSITION accessor (glTF 2.0 §3.6.2.3): base values from a
+    bufferView with overrides at sparse indices — and the zero-base form
+    (no bufferView at all, values entirely from the sparse block)."""
+    base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [9, 9, 9]], np.float32)
+    override = np.array([[5, 5, 5]], np.float32)         # replaces vertex 3
+    sidx = np.array([3], np.uint16)
+    idx = np.array([0, 1, 2, 1, 3, 2], np.uint16)
+    payload = base.tobytes() + override.tobytes() + sidx.tobytes() + idx.tobytes()
+    payload += b"\x00" * (-len(payload) % 4)
+
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0},
+                                    "indices": 1}]}],
+        "buffers": [{"byteLength": len(payload)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},    # base pos
+            {"buffer": 0, "byteOffset": 48, "byteLength": 12},   # sparse vals
+            {"buffer": 0, "byteOffset": 60, "byteLength": 2},    # sparse idx
+            {"buffer": 0, "byteOffset": 62, "byteLength": 12},   # indices
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3",
+             "sparse": {"count": 1,
+                        "indices": {"bufferView": 2, "componentType": 5123},
+                        "values": {"bufferView": 1}}},
+            {"bufferView": 3, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+    }
+    js = json.dumps(gltf).encode()
+    js += b" " * (-len(js) % 4)
+    total = 12 + 8 + len(js) + 8 + len(payload)
+    path = str(tmp_path / "sparse.glb")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(js), 0x4E4F534A))
+        f.write(js)
+        f.write(struct.pack("<II", len(payload), 0x004E4942))
+        f.write(payload)
+
+    mesh = load_gltf_with_materials(path)
+    assert mesh.num_triangles == 2
+    got = {tuple(v) for v in mesh.vertices.round(3)}
+    assert (5.0, 5.0, 5.0) in got          # sparse override applied
+    assert (9.0, 9.0, 9.0) not in got      # base value replaced
+
+    # Zero-base variant: accessor with NO bufferView — values default to
+    # zeros with sparse overrides on top.
+    gltf["accessors"][0] = {
+        "componentType": 5126, "count": 4, "type": "VEC3",
+        "sparse": {"count": 1,
+                   "indices": {"bufferView": 2, "componentType": 5123},
+                   "values": {"bufferView": 1}}}
+    js = json.dumps(gltf).encode()
+    js += b" " * (-len(js) % 4)
+    total = 12 + 8 + len(js) + 8 + len(payload)
+    path2 = str(tmp_path / "sparse0.glb")
+    with open(path2, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(js), 0x4E4F534A))
+        f.write(js)
+        f.write(struct.pack("<II", len(payload), 0x004E4942))
+        f.write(payload)
+    mesh2 = load_gltf_with_materials(path2)
+    got2 = {tuple(v) for v in mesh2.vertices.round(3)}
+    assert (5.0, 5.0, 5.0) in got2
+    assert (0.0, 0.0, 0.0) in got2

@@ -177,16 +177,25 @@ def test_hybrid_merge_distance_order(studio):
     env = scene.environment.to_arrays()
     add = scene.additional_mesh.to_arrays()
     omin, omax = scene.outer_shell.bounds()
-    # Camera above, looking straight down through the torus tube wall onto
-    # the plane at y=-0.75: passes through outer shell at the tube.
+    # Camera above, looking straight down through the torus tube WALL onto
+    # the plane at y=-0.75: x=1.65 crosses the outer shell (|x-1.2| = 0.45 <
+    # 0.62) but MISSES the inner shell (0.45 > 0.30) — a ray through the
+    # tube center would terminate on the inner shell, where the march
+    # forces a hit regardless of presence (the reference's inner-shell
+    # forcing, applySegmentNeuralOutputKernel), making presence on/off
+    # indistinguishable. x=1.2 exactly would also ride the two-half seam
+    # (an ulp-separated double forward crossing).
     # bounces >= 1 so surfaces gather env light (with 0 bounces every hit
     # pixel is black and the two cases are indistinguishable); the crafted
     # net outputs zero color, so route the neural albedo through the
     # constant-neural-color path (applySegmentNeuralOutputKernel :1093-1104).
+    # fov 0.05: at 1x1 the single pixel spans the whole fov and the AA
+    # sample jitter displaces the ray by up to fov/2 — keep that within the
+    # 0.32-wide wall band.
     params = RenderParams.make(
         width=1, height=1, samples_per_pixel=1, max_bounces=2,
-        cam_pos=[1.2, 2.0, 0.0], cam_forward=[0, -1, 0.0],
-        cam_right=[1, 0, 0.0], cam_up=[0, 0, -1.0], fov_y=0.5,
+        cam_pos=[1.65, 2.0, 0.0], cam_forward=[0, -1, 0.0],
+        cam_right=[1, 0, 0.0], cam_up=[0, 0, -1.0], fov_y=0.05,
         material=scene.global_material, scene_scale=3.0,
         use_constant_neural_color=True,
         constant_neural_color=(0.9, 0.2, 0.2),
@@ -259,3 +268,51 @@ def test_evaluate_cli_studio(tmp_path):
     assert rc == 0
     for f in ("ground_truth.png", "neural.png", "flip_error.png"):
         assert os.path.exists(os.path.join(out, f))
+
+
+def test_bundled_shells_wound_outward():
+    """Every bundled scene's shells (and GT meshes) must be wound OUTWARD:
+    from outside, the first crossing along a ray is FORWARD (front-facing).
+    The shell march and the training sampler both derive segment entries
+    from forward crossings, so an inward-wound shell silently inverts every
+    segment (entries at exits) — exactly what capped the round-3 studio
+    scene at 19 dB (the generator's torus triangulation faced inward)."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from neural_renderer_tpu.ops import traversal
+    from neural_renderer_tpu.scene.mesh_loader import load_mesh_auto
+
+    root = os.path.join(os.path.dirname(__file__), os.pardir, "configs")
+    paths = []
+    for scene in ("sphere", "knot", "studio"):
+        for f in ("outer.obj", "inner.obj"):
+            paths.append(os.path.join(root, scene, f))
+    paths.append(os.path.join(root, "studio", "torus.glb"))
+
+    rng = np.random.default_rng(11)
+    n = 512
+    for path in paths:
+        if not os.path.exists(path):
+            continue
+        mesh = load_mesh_auto(path)
+        arr = mesh.to_arrays()
+        bmin, bmax = mesh.bounds()
+        center = 0.5 * (bmin + bmax)
+        radius = float(np.linalg.norm(bmax - bmin))
+        o = rng.normal(size=(3, n)).astype(np.float32)
+        o = center[:, None] + o / np.linalg.norm(o, axis=0) * (2.5 * radius)
+        t = (bmin[:, None] + rng.random((3, n), dtype=np.float32)
+             * (bmax - bmin)[:, None])
+        d = t - o
+        d = (d / np.linalg.norm(d, axis=0)).astype(np.float32)
+        f = traversal.trace_mesh(arr, jnp.asarray(o), jnp.asarray(d),
+                                 traversal.FORWARD_ONLY)
+        b = traversal.trace_mesh(arr, jnp.asarray(o), jnp.asarray(d),
+                                 traversal.BACKWARD_ONLY)
+        ft = np.where(np.asarray(f.hit), np.asarray(f.t), np.inf)
+        bt = np.where(np.asarray(b.hit), np.asarray(b.t), np.inf)
+        both = np.isfinite(ft) & np.isfinite(bt)
+        assert both.sum() > 50, path
+        assert (ft[both] < bt[both]).mean() > 0.999, \
+            f"{path}: inward winding (first crossing is back-facing)"
