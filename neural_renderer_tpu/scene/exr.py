@@ -4,11 +4,13 @@ The reference loads EXR environment maps through tinyexr
 (/root/reference/src/scene.cu:204-243); this image's imageio/cv2 builds have
 no EXR codec, so the framework carries its own reader, like the hand-written
 Radiance RGBE parser (envmap.py). Scope = what HDRI environment maps use:
-single-part scanline files, NONE / RLE / ZIPS / ZIP / PIZ / PXR24
-compression, HALF / FLOAT / UINT channels, no subsampling. B44/DWA raise a
-clear error. PIZ — what most published HDRIs ship, and what tinyexr handles
-for the reference — lives in exr_piz.py (wavelet + Huffman codec); PXR24
-decode too. Layout reference: the OpenEXR file-format notes (openexr.com,
+single-part scanline files, NONE / RLE / ZIPS / ZIP / PIZ / PXR24 / B44 /
+B44A compression, HALF / FLOAT / UINT channels, no subsampling. DWAA/DWAB
+raise a clear error. PIZ — what most published HDRIs ship, and what tinyexr
+handles for the reference — lives in exr_piz.py (wavelet + Huffman codec);
+PXR24 decode too; B44/B44A in exr_b44.py (all validated bit-exactly against
+the system OpenEXR 3.1 library — scripts/make_exr_fixture.py).
+Layout reference: the OpenEXR file-format notes (openexr.com,
 "Reading and Writing Image Files" + ImfZip.cpp predictor/interleave scheme).
 """
 
@@ -21,8 +23,8 @@ import numpy as np
 
 MAGIC = 20000630
 _PIX_DTYPE = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
-# NONE, RLE, ZIPS, ZIP, PIZ, PXR24
-_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}
+# NONE, RLE, ZIPS, ZIP, PIZ, PXR24, B44, B44A
+_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32}
 _COMP_NAMES = {6: "B44", 7: "B44A", 8: "DWAA", 9: "DWAB"}
 
 
@@ -132,7 +134,8 @@ def _read_exr(path: str) -> np.ndarray:
     comp = attrs["compression"][1][0]
     if comp not in _LINES_PER_BLOCK:
         raise ExrError(f"{_COMP_NAMES.get(comp, comp)} compression "
-                       "unsupported (NONE/RLE/ZIPS/ZIP/PIZ/PXR24 only)")
+                       "unsupported (NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A "
+                       "only)")
     lines_per = _LINES_PER_BLOCK[comp]
 
     xmin, ymin, xmax, ymax = struct.unpack_from("<iiii",
@@ -180,6 +183,15 @@ def _read_exr(path: str) -> np.ndarray:
                     raw = pxr24_uncompress_block(raw, chans, width, ny)
                 except PizError as e:
                     raise ExrError(f"PXR24 block: {e}") from e
+        elif comp in (6, 7):  # B44 / B44A (4x4 half blocks; exr_b44.py)
+            # All-FLOAT/UINT chunks code to exactly raw size, and the
+            # writer then stores them raw (generic EXR fallback rule).
+            if size < expect:
+                from .exr_b44 import B44Error, b44_uncompress_block
+                try:
+                    raw = b44_uncompress_block(raw, chans, width, ny)
+                except B44Error as e:
+                    raise ExrError(f"B44 block: {e}") from e
         if len(raw) < expect:
             raise ExrError("truncated scanline block")
         bp = 0

@@ -30,6 +30,12 @@ VARIANTS = {
     "s32-12k": (32, 12000, 262144, 3, "cosine"),
     "s16-24k": (16, 24000, 262144, 3, "cosine"),
     "s32-24k": (32, 24000, 262144, 3, "cosine"),
+    # smaller batch, more Adam steps at ~equal segment count (the knot
+    # round-3 lesson: step count beats batch size at fixed data)
+    "s16-12k-b64": (16, 12000, 65536, 3, "cosine"),
+    "s32-12k-b64": (32, 12000, 65536, 3, "cosine"),
+    "s16-24k-b64": (16, 24000, 65536, 3, "cosine"),
+    "s32-24k-b64": (32, 24000, 65536, 3, "cosine"),
 }
 
 

@@ -56,8 +56,11 @@ int main(int argc, char **argv) {
         if (fread(data.data(), 4, data.size(), f) != data.size()) return 3;
         fclose(f);
         Header hdr(w, h);
-        hdr.compression() = comp == "piz" ? PIZ_COMPRESSION : PXR24_COMPRESSION;
-        bool use_half = comp == "piz";
+        hdr.compression() = comp == "piz" ? PIZ_COMPRESSION
+                          : comp == "b44" ? B44_COMPRESSION
+                          : comp == "b44a" ? B44A_COMPRESSION
+                          : PXR24_COMPRESSION;
+        bool use_half = comp != "pxr24";
         PixelType pt = use_half ? HALF : FLOAT;
         hdr.channels().insert("R", Channel(pt));
         hdr.channels().insert("G", Channel(pt));
@@ -134,14 +137,36 @@ def main():
     os.makedirs(golden, exist_ok=True)
     piz_path = os.path.join(golden, "piz_reference.exr")
     pxr_path = os.path.join(golden, "pxr24_reference.exr")
+    b44_path = os.path.join(golden, "b44_reference.exr")
+    b44a_path = os.path.join(golden, "b44a_reference.exr")
     subprocess.check_call([bin_path, "write", piz_path, str(w), str(h), "piz", raw])
     subprocess.check_call([bin_path, "write", pxr_path, str(w), str(h), "pxr24", raw])
-    print(f"wrote {piz_path} ({os.path.getsize(piz_path)} B), "
-          f"{pxr_path} ({os.path.getsize(pxr_path)} B)")
+    subprocess.check_call([bin_path, "write", b44_path, str(w), str(h), "b44", raw])
+    subprocess.check_call([bin_path, "write", b44a_path, str(w), str(h), "b44a", raw])
+    for pth in (piz_path, pxr_path, b44_path, b44a_path):
+        print(f"wrote {pth} ({os.path.getsize(pth)} B)")
+
+    # B44 is LOSSY (shift-and-round): the reference decode is what the
+    # OpenEXR library itself reads back, not the input pattern. Store it.
+    for pth, name in ((b44_path, "b44"), (b44a_path, "b44a")):
+        back_raw = os.path.join(tempfile.gettempdir(), f"{name}_back.f32")
+        outp = subprocess.check_output([bin_path, "read", pth, back_raw]).split()
+        dec = np.fromfile(back_raw, np.float32).reshape(int(outp[1]), int(outp[0]), 3)
+        np.save(os.path.join(golden, f"{name}_reference_decode.npy"), dec)
 
     # Cross-check 1: repo reader vs OpenEXR-written files.
     sys.path.insert(0, ROOT)
     from neural_renderer_tpu.scene.exr import read_exr
+    for name in ("b44", "b44a"):
+        pth = os.path.join(golden, f"{name}_reference.exr")
+        want = np.load(os.path.join(golden, f"{name}_reference_decode.npy"))
+        got = read_exr(pth)
+        ok = np.array_equal(got, want)
+        print(f"repo reader vs OpenEXR decode {name}: {'EXACT' if ok else 'MISMATCH'}")
+        if not ok:
+            d = np.abs(got - want)
+            print("  max", d.max(), "frac", (d > 0).mean())
+            sys.exit(1)
     for path, tol in ((piz_path, 0.0), (pxr_path, None)):
         got = read_exr(path)
         if tol == 0.0:

@@ -383,3 +383,18 @@ def test_piz_reference_fixture():
     got = read_exr(pxr)
     expect = (img.view(np.uint32) & 0xFFFFFF00).view(np.float32)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_b44_reference_fixture():
+    """Decode B44/B44A files produced by the REAL OpenEXR 3.1 library and
+    compare against the library's own decode (B44 is lossy, so the oracle
+    is OpenEXR's reader output, stored as *_reference_decode.npy at fixture
+    generation). Must match bit-exactly."""
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("b44", "b44a"):
+        path = os.path.join(here, "golden", f"{name}_reference.exr")
+        want = np.load(os.path.join(here, "golden",
+                                    f"{name}_reference_decode.npy"))
+        got = read_exr(path)
+        np.testing.assert_array_equal(got, want, err_msg=name)
