@@ -148,11 +148,12 @@ def test_quality_thresholds_knot(capsys):
                     reason="opt-in quality gate (RUN_QUALITY=1)")
 def test_quality_thresholds_studio(capsys):
     """Full-feature scene gate (textures + normal maps + PIZ env): recorded
-    19.19 dB / 0.107 FLIP at 1080p x64 spp (BASELINE.md round 3 — the
-    ripple normal map saturates the normal head; see the analysis there).
-    The gate guards STRUCTURAL regressions: the GT-vs-neural asymmetry bug
-    class (additional mesh in one pass only) scored 16.1 dB and a
-    grey-color-supervision bug class ~14; threshold sits above both."""
+    24.12 dB / 0.0578 FLIP at 480x270 x64 spp after the round-4 scene fixes
+    (outward shell winding + slope-parametrized ripple map — BASELINE.md
+    round 4; the round-3 19.19 dB record was an inward-winding scene bug).
+    Thresholds guard regressions below that record minus noise margin; the
+    known bug classes (inverted winding ~16-19 dB, GT-vs-neural additional
+    asymmetry 16.1, grey color supervision ~14) all sit well under it."""
     import re
     from neural_renderer_tpu.cli import evaluate as eval_cli
     rc = eval_cli.main([os.path.join(os.path.dirname(GOLDEN_DIR), os.pardir,
@@ -164,5 +165,5 @@ def test_quality_thresholds_studio(capsys):
     psnr = re.search(r"PSNR: ([0-9.]+) dB", out)
     flip = re.search(r"FLIP: ([0-9.]+) \(mean\)", out)
     assert psnr and flip, f"evaluate did not report metrics:\n{out[-500:]}"
-    assert float(psnr.group(1)) >= 17.0
-    assert float(flip.group(1)) <= 0.16
+    assert float(psnr.group(1)) >= 22.5
+    assert float(flip.group(1)) <= 0.075
