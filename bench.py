@@ -162,21 +162,30 @@ def _sync(x):
     return float(jnp.sum(x.astype(jnp.int32)))
 
 
-def measure(device, width, height, spp, bounces, frames, compute_dtype):
+def measure(device, width, height, spp, bounces, frames, compute_dtype,
+            repeats=1):
+    """Return a list of Mrays/s samples, one per repeat of the timed block.
+
+    Repeats exist because the axon host is time-shared: a single timed run
+    cannot distinguish a code regression from host/tunnel contention
+    (VERDICT r4). The caller reports median + spread."""
     run, accum = make_frame_fn(device, width, height, spp, bounces, compute_dtype)
     # Warmup / compile.
     img, accum = run(accum, 0)
     _sync(img)
 
-    t0 = time.perf_counter()
+    samples = []
     offset = spp
-    for i in range(frames):
-        img, accum = run(accum, offset)
-        offset += spp
-    _sync(img)
-    dt = time.perf_counter() - t0
-    rays = width * height * spp * frames
-    return rays / dt / 1e6
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(frames):
+            img, accum = run(accum, offset)
+            offset += spp
+        _sync(img)
+        dt = time.perf_counter() - t0
+        rays = width * height * spp * frames
+        samples.append(rays / dt / 1e6)
+    return samples
 
 
 def _cpu_baseline_mrays(bounces: int) -> float | None:
@@ -204,7 +213,7 @@ def _cpu_baseline_mrays(bounces: int) -> float | None:
         "import jax;jax.config.update('jax_platforms','cpu');"
         "sys.path.insert(0, %r);"
         "import bench,jax.numpy as jnp;"
-        "m=bench.measure(jax.devices('cpu')[0],192,108,1,%d,1,jnp.float32);"
+        "m=bench.measure(jax.devices('cpu')[0],192,108,1,%d,1,jnp.float32)[0];"
         "print(json.dumps({'cpu_mrays':m}))"
     ) % (os.path.dirname(os.path.abspath(__file__)), bounces)
     try:
@@ -231,11 +240,16 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", 1))
     bounces = int(os.environ.get("BENCH_BOUNCES", 3))
     frames = int(os.environ.get("BENCH_FRAMES", 4))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
 
     import jax.numpy as jnp
 
     accel = jax.devices()[0]
-    mrays = measure(accel, width, height, spp, bounces, frames, jnp.bfloat16)
+    samples = measure(accel, width, height, spp, bounces, frames, jnp.bfloat16,
+                      repeats=repeats)
+    samples.sort()
+    mrays = samples[len(samples) // 2] if len(samples) % 2 else (
+        0.5 * (samples[len(samples) // 2 - 1] + samples[len(samples) // 2]))
 
     vs_baseline = None
     cpu_mrays = _cpu_baseline_mrays(bounces)
@@ -255,6 +269,11 @@ def main():
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs_baseline, 3),
+        # Median of BENCH_REPEATS timed blocks; min/max expose time-shared
+        # host contention that a single run cannot (VERDICT r4).
+        "repeats": len(samples),
+        "min": round(samples[0], 3),
+        "max": round(samples[-1], 3),
     }))
 
 

@@ -43,6 +43,12 @@ def main(argv=None) -> int:
                              "cuda_renderer_neural.cu:2546), so configs "
                              "with a populated additional_mesh need this "
                              "for an apples-to-apples PSNR/FLIP gate")
+    parser.add_argument("--host-loop", action="store_true",
+                        help="per-batch host dispatch loop instead of the "
+                             "in-jit fori accumulation (for A/B timing)")
+    parser.add_argument("--chunk-batches", type=int, default=64,
+                        help="batches chained in-jit per dispatch (progress "
+                             "granularity; no recompile between chunks)")
     parser.add_argument("--profile", action="store_true",
                         help="print the per-kernel timing table (ns/ray + "
                              "Mrays, the PROFILE_KERNELS categories) after "
@@ -107,20 +113,35 @@ def main(argv=None) -> int:
         renderer.set_use_neural_query(neural)
         renderer.set_classic_mesh_index(0)
         renderer.reset_samples()
-        remaining = total_samples
-        total_iters = (total_samples + args.batch_spp - 1) // args.batch_spp
+
         bar = ProgressBar()
+        if args.host_loop or total_samples % args.batch_spp != 0:
+            # Legacy per-batch host loop: one dispatch per batch. On the
+            # remote platform each dispatch pays a fixed floor, so this path
+            # is only for uneven sample counts and A/B measurement.
+            remaining = total_samples
+            total_iters = (total_samples + args.batch_spp - 1) // args.batch_spp
+            bar.begin(label, total_iters)
+            it = 0
+            img = None
+            while remaining > 0:
+                batch = min(remaining, args.batch_spp)
+                renderer.set_samples_per_pixel(batch)
+                img = renderer.render(pos)
+                remaining -= batch
+                it += 1
+                bar.update(it)
+            return img
+
+        # In-jit accumulation: a fori_loop chains batches inside one dispatch
+        # per chunk — the reference's per-batch loop (evaluate.cu:253-264) is
+        # free under CUDA streams but dispatch-bound here (VERDICT r4).
+        total_iters = total_samples // args.batch_spp
         bar.begin(label, total_iters)
-        it = 0
-        img = None
-        while remaining > 0:
-            batch = min(remaining, args.batch_spp)
-            renderer.set_samples_per_pixel(batch)
-            img = renderer.render(pos)
-            remaining -= batch
-            it += 1
-            bar.update(it)
-        return img
+        return renderer.render_accumulate(
+            pos, total_samples, batch_spp=args.batch_spp,
+            chunk_batches=args.chunk_batches,
+            progress=lambda done, total: bar.update(done))
 
     def profile_pass(neural: bool):
         if not args.profile:

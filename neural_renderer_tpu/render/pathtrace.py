@@ -278,6 +278,17 @@ def finalize(params, path_radiance, accum):
     return img.transpose(1, 2, 0), new_accum
 
 
+def accum_image(params, accum, total_spp):
+    """Image straight from an accumulation buffer: normalize by the TOTAL
+    sample count and sRGB-encode. The in-jit multi-batch renderer
+    (Renderer.render_accumulate) carries only `accum` through its fori_loop
+    and derives the image once at the end with this, instead of paying the
+    finalize() u8 encode every batch."""
+    color = accum * (1.0 / jnp.float32(total_spp))
+    img = encode_srgb_u8(color).reshape(3, -1, params.width)
+    return img.transpose(1, 2, 0)
+
+
 def lambert_shade(params, env, hits: HitState, prim_dirs):
     """lambertKernel (cuda_renderer_neural.cu:1547-1607): N·V shading,
     raw environment on miss, average over spp. Returns image u8 [rows, W, 3]."""

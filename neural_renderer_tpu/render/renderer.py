@@ -25,7 +25,7 @@ from ..scene.scene import Scene
 from .neural_frame import render_neural_frame, render_neural_lambert
 from .neural_march import NeuralContext
 from .params import RenderParams
-from .pathtrace import render_gt_frame, render_gt_lambert
+from .pathtrace import accum_image, render_gt_frame, render_gt_lambert
 
 
 @dataclass
@@ -94,6 +94,9 @@ class Renderer:
             static_argnames=("use_additional", "compute_dtype"))
         from ..ops.denoise import bilateral_denoise
         self._jit_denoise = jax.jit(bilateral_denoise)
+        self._jit_multi = {}
+        self._jit_accum_image = jax.jit(accum_image,
+                                        static_argnames=("total_spp",))
 
         self.device_mesh = None
         self.mesh_axis = "dp"
@@ -155,6 +158,7 @@ class Renderer:
         self.device_mesh = mesh
         self.mesh_axis = axis
         self._net_params_replicated = None
+        self._jit_multi = {}  # cached closures capture the old mesh
         if mesh is None:
             self._jit_gt_tiled = None
             self._jit_neural_tiled = None
@@ -419,6 +423,135 @@ class Renderer:
         img = np.asarray(jax.block_until_ready(img))
         self.last_frame_seconds = time.perf_counter() - t0
         self.last_frame_rays = self.width * self.height * self.samples_per_pixel
+        self._pixels = img
+        return img
+
+    def render_accumulate(self, cam_pos, total_samples: int,
+                          batch_spp: int = 1, chunk_batches: int = 64,
+                          progress=None) -> np.ndarray:
+        """Render `total_samples` samples/pixel in-jit: a lax.fori_loop over
+        sample offsets chains accumulation batches inside ONE dispatch per
+        `chunk_batches` batches, so an N-sample evaluate pays ~N/chunk
+        dispatches instead of N (the host-loop evaluate measured 2854 s wall
+        for ~5 s of device compute at 64 batches on the remote platform —
+        per-dispatch floors + remote round trips dominate; evaluate.cu:253-264
+        is the reference's equivalent per-batch loop, which CUDA streams make
+        free but a remote dispatch floor does not).
+
+        Starts from a fresh accumulator; returns the final u8 image [H,W,3].
+        `progress(batches_done, batches_total)` fires once per chunk.
+        Lambert/denoise views have no accumulation loop — use render().
+        """
+        if self.width <= 0 or self.height <= 0:
+            raise RuntimeError("resize() must be called before render()")
+        if self.lambert_view or self.denoise:
+            raise ValueError("render_accumulate supports plain path-traced "
+                             "frames only (no lambert/denoise)")
+        if total_samples % batch_spp != 0:
+            raise ValueError(f"total_samples {total_samples} must be a "
+                             f"multiple of batch_spp {batch_spp}")
+        import dataclasses as _dc
+        from functools import partial
+
+        self.set_samples_per_pixel(batch_spp)
+        self.reset_samples()
+        # render() state-change detection must not blend into this buffer.
+        self._last_state = None
+
+        params = self._build_params(cam_pos)
+        env = self._env_arrays()
+        accum = jnp.zeros((3, self.width * self.height), jnp.float32)
+
+        neural_ready = (self.use_neural_query
+                        and self.scene.outer_shell.num_triangles > 0)
+        tiled = self._use_tiled()
+        spp = batch_spp
+
+        if neural_ready:
+            ctx = NeuralContext(outer=self._mesh_arrays("outer_shell"),
+                                inner=self._mesh_arrays("inner_shell"),
+                                net_params=self._net_params_current(),
+                                config=self.net_config)
+            add = self._mesh_arrays("additional_mesh")
+            use_add = self.use_additional_mesh and not add.is_empty
+            cache_key = ("neural", tiled, use_add, spp,
+                         self.width, self.height, self.bounce_count)
+
+            def make_neural():
+                if tiled:
+                    from ..parallel import shardings as par
+                    mesh_dev, axis = self.device_mesh, self.mesh_axis
+                    frame = partial(par.render_neural_frame_tiled,
+                                    mesh=mesh_dev, axis=axis,
+                                    use_additional=use_add,
+                                    compute_dtype=self.compute_dtype)
+                else:
+                    frame = partial(render_neural_frame,
+                                    use_additional=use_add,
+                                    compute_dtype=self.compute_dtype)
+
+                def multi(ctx, add, env, params, accum, base, n_batches):
+                    def body(i, acc):
+                        off = base + (i * spp).astype(jnp.uint32)
+                        p = _dc.replace(params, sample_offset=off)
+                        _, acc = frame(ctx, add, env, p, acc)
+                        return acc
+                    return jax.lax.fori_loop(0, n_batches, body, accum)
+
+                return jax.jit(multi, donate_argnums=(4,))
+
+            if cache_key not in self._jit_multi:
+                self._jit_multi[cache_key] = make_neural()
+            step = lambda acc, base, n: self._jit_multi[cache_key](
+                ctx, add, env, params, acc, base, n)
+        else:
+            mesh_arrays = self._classic_mesh()
+            cache_key = ("gt", tiled, spp,
+                         self.width, self.height, self.bounce_count)
+
+            def make_gt():
+                if tiled:
+                    from ..parallel import shardings as par
+                    mesh_dev, axis = self.device_mesh, self.mesh_axis
+                    frame = partial(par.render_gt_frame_tiled,
+                                    mesh=mesh_dev, axis=axis)
+                else:
+                    frame = render_gt_frame
+
+                def multi(mesh_arrays, env, params, accum, base, n_batches):
+                    def body(i, acc):
+                        off = base + (i * spp).astype(jnp.uint32)
+                        p = _dc.replace(params, sample_offset=off)
+                        _, acc = frame(mesh_arrays, env, p, acc)
+                        return acc
+                    return jax.lax.fori_loop(0, n_batches, body, accum)
+
+                return jax.jit(multi, donate_argnums=(3,))
+
+            if cache_key not in self._jit_multi:
+                self._jit_multi[cache_key] = make_gt()
+            step = lambda acc, base, n: self._jit_multi[cache_key](
+                mesh_arrays, env, params, acc, base, n)
+
+        n_total = total_samples // batch_spp
+        t0 = time.perf_counter()
+        done = 0
+        while done < n_total:
+            n = min(chunk_batches, n_total - done)
+            accum = step(accum, jnp.uint32(done * spp), jnp.int32(n))
+            done += n
+            if progress is not None:
+                # The scalar readback doubles as the device barrier, so the
+                # progress callback tracks real completion, not dispatch.
+                float(jnp.sum(accum[:, :1]))
+                progress(done, n_total)
+
+        img = np.asarray(jax.block_until_ready(
+            self._jit_accum_image(params, accum, total_samples)))
+        self.last_frame_seconds = time.perf_counter() - t0
+        self.last_frame_rays = self.width * self.height * total_samples
+        self._accum = accum
+        self._accum_sample_count = total_samples
         self._pixels = img
         return img
 

@@ -5,11 +5,13 @@ The reference loads EXR environment maps through tinyexr
 no EXR codec, so the framework carries its own reader, like the hand-written
 Radiance RGBE parser (envmap.py). Scope = what HDRI environment maps use:
 single-part scanline files, NONE / RLE / ZIPS / ZIP / PIZ / PXR24 / B44 /
-B44A compression, HALF / FLOAT / UINT channels, no subsampling. DWAA/DWAB
-raise a clear error. PIZ — what most published HDRIs ship, and what tinyexr
-handles for the reference — lives in exr_piz.py (wavelet + Huffman codec);
-PXR24 decode too; B44/B44A in exr_b44.py (all validated bit-exactly against
-the system OpenEXR 3.1 library — scripts/make_exr_fixture.py).
+B44A / DWAA / DWAB compression — every tinyexr scanline codec — HALF /
+FLOAT / UINT channels, no subsampling. PIZ — what most published HDRIs
+ship, and what tinyexr handles for the reference — lives in exr_piz.py
+(wavelet + Huffman codec); PXR24 decode too; B44/B44A in exr_b44.py;
+DWAA/DWAB in exr_dwa.py (all validated bit-exactly — DWA's lossy-DCT
+channels to <=4 half-ulps — against the system OpenEXR 3.1 library:
+scripts/make_exr_fixture.py, scripts/make_dwa_fixture.py).
 Layout reference: the OpenEXR file-format notes (openexr.com,
 "Reading and Writing Image Files" + ImfZip.cpp predictor/interleave scheme).
 """
@@ -23,8 +25,9 @@ import numpy as np
 
 MAGIC = 20000630
 _PIX_DTYPE = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
-# NONE, RLE, ZIPS, ZIP, PIZ, PXR24, B44, B44A
-_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32}
+# NONE, RLE, ZIPS, ZIP, PIZ, PXR24, B44, B44A, DWAA, DWAB
+_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32,
+                    8: 32, 9: 256}
 _COMP_NAMES = {6: "B44", 7: "B44A", 8: "DWAA", 9: "DWAB"}
 
 
@@ -192,6 +195,13 @@ def _read_exr(path: str) -> np.ndarray:
                     raw = b44_uncompress_block(raw, chans, width, ny)
                 except B44Error as e:
                     raise ExrError(f"B44 block: {e}") from e
+        elif comp in (8, 9):  # DWAA / DWAB (lossy DCT; exr_dwa.py)
+            if size < expect:
+                from .exr_dwa import DwaError, dwa_uncompress_block
+                try:
+                    raw = dwa_uncompress_block(raw, chans, width, ny)
+                except DwaError as e:
+                    raise ExrError(f"DWA block: {e}") from e
         if len(raw) < expect:
             raise ExrError("truncated scanline block")
         bp = 0

@@ -385,6 +385,98 @@ def test_piz_reference_fixture():
     np.testing.assert_array_equal(got, expect)
 
 
+def _exr_chunks(path):
+    """Minimal chunk walker: yields (raw_block_bytes, chans, width, ny) for
+    each scanline block — lets tests drive block decoders directly on
+    channels read_exr's RGB output doesn't surface (alpha, Z)."""
+    import struct
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 8
+    attrs = {}
+    while data[pos] != 0:
+        e = data.index(b"\0", pos)
+        name = data[pos:e].decode()
+        pos = e + 1
+        e = data.index(b"\0", pos)
+        pos = e + 1
+        size = struct.unpack_from("<i", data, pos)[0]
+        pos += 4
+        attrs[name] = data[pos:pos + size]
+        pos += size
+    pos += 1
+    chans = []
+    cbuf, cp = attrs["channels"], 0
+    while cbuf[cp] != 0:
+        e = cbuf.index(b"\0", cp)
+        cname = cbuf[cp:e].decode()
+        cp = e + 1
+        ptype = struct.unpack_from("<i", cbuf, cp)[0]
+        cp += 16
+        chans.append((cname, ptype))
+    comp = attrs["compression"][0]
+    lines_per = {8: 32, 9: 256}[comp]
+    xmin, ymin, xmax, ymax = struct.unpack_from("<iiii", attrs["dataWindow"])
+    width, height = xmax - xmin + 1, ymax - ymin + 1
+    nchunks = (height + lines_per - 1) // lines_per
+    offsets = struct.unpack_from(f"<{nchunks}Q", data, pos)
+    for off in offsets:
+        y, size = struct.unpack_from("<ii", data, off)
+        ny = min(lines_per, ymax - y + 1)
+        yield data[off + 8:off + 8 + size], chans, width, ny
+
+
+def test_dwa_reference_fixture():
+    """Decode DWAA/DWAB files produced by the REAL OpenEXR 3.1 library
+    (scripts/make_dwa_fixture.py) against the library's own decode. DWA's
+    lossy-DCT channels go through float IDCT + CSC whose compiled rounding
+    we can't reproduce exactly, so the RGB bar is tolerance-exact: >=99.9%
+    of halfs bit-identical, none further than 4 half-ulps. The RLE (alpha)
+    and UNKNOWN (float Z) schemes are lossless and must be BIT-exact."""
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("dwaa", "dwab"):
+        path = os.path.join(here, "golden", f"{name}_reference.exr")
+        want = np.load(os.path.join(here, "golden",
+                                    f"{name}_reference_decode.npy"))
+        got = read_exr(path)
+        gb = got.astype(np.float16).view(np.uint16).astype(int)
+        wb = want[:, :, :3].astype(np.float16).view(np.uint16).astype(int)
+        ulp = np.abs(gb - wb)
+        assert (ulp == 0).mean() >= 0.999, name
+        assert ulp.max() <= 4, name
+
+    # dwaa fixture RGBA: A takes the RLE scheme (lossless).
+    from neural_renderer_tpu.scene.exr_dwa import dwa_uncompress_block
+    path = os.path.join(here, "golden", "dwaa_reference.exr")
+    want = np.load(os.path.join(here, "golden", "dwaa_reference_decode.npy"))
+    rows = []
+    for raw, chans, width, ny in _exr_chunks(path):
+        assert [c for c, _ in chans] == ["A", "B", "G", "R"]
+        out = np.frombuffer(dwa_uncompress_block(raw, chans, width, ny),
+                            np.uint8).reshape(ny, len(chans), width * 2)
+        rows.append(out)
+    dec = np.concatenate(rows, axis=0)
+    alpha = dec[:, 0].reshape(-1, dec.shape[2] // 2 * 2)
+    alpha = np.frombuffer(alpha.tobytes(), np.float16).reshape(want.shape[:2])
+    np.testing.assert_array_equal(alpha.astype(np.float32), want[:, :, 3])
+
+    # dwab fixture RGB+Z: float Z takes the UNKNOWN/deflate scheme
+    # (lossless) — and its rows are wider than the half channels.
+    path = os.path.join(here, "golden", "dwab_reference.exr")
+    want = np.load(os.path.join(here, "golden", "dwab_reference_decode.npy"))
+    zrows = []
+    for raw, chans, width, ny in _exr_chunks(path):
+        assert [c for c, _ in chans] == ["B", "G", "R", "Z"]
+        out = dwa_uncompress_block(raw, chans, width, ny)
+        row_bytes = width * (2 * 3 + 4)
+        for r in range(ny):
+            row = out[r * row_bytes:(r + 1) * row_bytes]
+            zrows.append(np.frombuffer(row[width * 6:], np.float32))
+    z = np.stack(zrows)
+    np.testing.assert_array_equal(z, want[:, :, 3])
+
+
 def test_b44_reference_fixture():
     """Decode B44/B44A files produced by the REAL OpenEXR 3.1 library and
     compare against the library's own decode (B44 is lossy, so the oracle
