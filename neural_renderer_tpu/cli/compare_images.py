@@ -56,7 +56,8 @@ def main(argv=None) -> int:
     psnr = compute_psnr(ref, test)
     print(f"PSNR: {psnr:.2f} dB")
 
-    mean_err, max_err = compute_flip(ref, test, output_path=flip_output)
+    mean_err, max_err = compute_flip(ref, test, output_path=flip_output,
+                                     device="cpu")
     print(f"FLIP max error: {max_err:.4f}")
     print(f"FLIP: {mean_err:.4f} (mean)")
     print("\nComparison complete.")

@@ -163,7 +163,11 @@ def main(argv=None) -> int:
 
     print("Computing FLIP error...")
     flip_path = os.path.join(args.output, "flip_error.png")
-    mean_err, max_err = compute_flip(gt, neural, output_path=flip_path)
+    # FLIP runs on the host CPU backend: it executes once per eval, and on
+    # the remote-TPU platform its one-off CSF-convolution compile has twice
+    # wedged the tunnel for 30+ min (rounds 4-5).
+    mean_err, max_err = compute_flip(gt, neural, output_path=flip_path,
+                                     device="cpu")
     print(f"FLIP max error: {max_err:.4f}")
     print(f"FLIP: {mean_err:.4f} (mean)")
     print("\nComparison complete.")

@@ -42,6 +42,13 @@ def main(argv=None) -> int:
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel devices (hash tables + MLP "
                              "matrices sharded)")
+    parser.add_argument("--fused", default="auto",
+                        choices=("auto", "on", "off"),
+                        help="lane-grid fused Pallas train kernel. 'off' "
+                             "uses the XLA masked-matmul gradient path — "
+                             "needed for S=32 lane grids, whose unpacked "
+                             "f32 tables blow the fused kernel's scoped "
+                             "VMEM (21.5M > 16M)")
     args = parser.parse_args(argv)
 
     import jax
@@ -69,7 +76,8 @@ def main(argv=None) -> int:
                        steps=args.steps, seed=args.seed,
                        log_every=args.log_every,
                        lr_schedule=args.lr_schedule,
-                       segments_per_ray=args.segments_per_ray)
+                       segments_per_ray=args.segments_per_ray,
+                       fused_kernel=args.fused)
 
     gt = scene.original_mesh.to_arrays()
     outer = scene.outer_shell.to_arrays()

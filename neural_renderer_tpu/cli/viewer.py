@@ -246,6 +246,81 @@ def run_headless(args):
     return 0
 
 
+def run_motion_bench(args):
+    """Measured viewer interactivity (VERDICT r2-r4 ask): simulate the live
+    GLFW loop (viewer.cu:258-318) without a display — orbit the camera for
+    `--bench-motion` seconds at the MotionScaler preview resolution, then
+    rest and accumulate to the config's total_samples at full resolution.
+    Prints preview fps during motion, full-res fps, and rest-to-converged
+    wall time. With --train-steps, training runs between motion frames and
+    the steps/frame cadence is reported (train-while-render)."""
+    cfg, renderer, controller, current_basis = build_renderer(args)
+    width, height = renderer.width, renderer.height
+    scaler = MotionScaler(width, height, drop=args.motion_drop)
+    trainer = make_live_trainer(args, cfg, renderer.scene, renderer)
+    pw, ph = scaler.preview
+
+    # Warm up / compile both sizes once (outside the timed loops).
+    renderer.set_camera_basis(current_basis())
+    renderer.resize(pw, ph)
+    renderer.render(controller.camera.position)
+    renderer.resize(width, height)
+    renderer.render(controller.camera.position)
+
+    # --- motion phase: orbit, preview resolution, accumulation resets every
+    # frame (settings key changes with the camera) ---------------------------
+    import math
+    pos0 = np.array(controller.camera.position, np.float64)
+    radius = float(np.linalg.norm(pos0)) or 1.0
+    renderer.resize(pw, ph)
+    frames = 0
+    t_end = time.perf_counter() + args.bench_motion
+    t0 = time.perf_counter()
+    frame_times = []
+    while time.perf_counter() < t_end:
+        ang = 0.2 * (time.perf_counter() - t0)
+        pos = np.array([radius * math.sin(ang), pos0[1],
+                        radius * math.cos(ang)])
+        if trainer is not None:
+            trainer.run()
+        f0 = time.perf_counter()
+        img = renderer.render(pos)
+        frame_times.append(time.perf_counter() - f0)
+        scaler.upscale(img)  # host-side cost of the preview path, counted
+        frames += 1
+    motion_wall = time.perf_counter() - t0
+    fps = frames / motion_wall
+    frame_times.sort()
+    med = frame_times[len(frame_times) // 2] if frame_times else 0.0
+    print(f"motion: {frames} frames in {motion_wall:.2f} s at {pw}x{ph} "
+          f"(drop {args.motion_drop}) -> {fps:.2f} fps "
+          f"(median frame {med * 1e3:.1f} ms, incl. pixel readback"
+          + (f", {args.train_steps} train steps/frame" if trainer else "")
+          + ")")
+
+    # --- rest phase: full resolution, progressive accumulation to the
+    # config sample count ----------------------------------------------------
+    renderer.resize(width, height)
+    renderer.reset_samples()
+    total = cfg.rendering.total_samples
+    t0 = time.perf_counter()
+    img = renderer.render_accumulate(controller.camera.position, total,
+                                     batch_spp=args.spp,
+                                     chunk_batches=args.chunk_batches)
+    rest_wall = time.perf_counter() - t0
+    rays = width * height * total
+    print(f"rest: {total} spp at {width}x{height} converged in "
+          f"{rest_wall:.2f} s ({rays / rest_wall / 1e6:.3f} Mrays/s)")
+    sfps = 1.0 / max(renderer.last_frame_seconds / max(total // args.spp, 1),
+                     1e-9)
+    print(f"full-res single-batch rate: {sfps:.2f} batches/s at spp "
+          f"{args.spp}")
+    from ..metrics import save_png
+    os.makedirs(args.output, exist_ok=True)
+    save_png(os.path.join(args.output, "bench_motion_final.png"), img)
+    return 0
+
+
 def profile_table(renderer, controller):
     """Per-kernel timing table (the PROFILE_KERNELS ImGui table,
     viewer.cu:520-590) for the current camera/settings."""
@@ -426,8 +501,19 @@ def main(argv=None) -> int:
     parser.add_argument("--ckpt", default="",
                         help="weights to load (flat FP16 blob or orbax dir), "
                              "overriding the config's checkpoint_path")
+    parser.add_argument("--bench-motion", type=float, default=0.0,
+                        metavar="SECONDS",
+                        help="measure interactivity: orbit the camera for "
+                             "SECONDS at the motion-drop preview resolution "
+                             "and report fps, then time full-res "
+                             "convergence at rest (no display needed)")
+    parser.add_argument("--chunk-batches", type=int, default=64,
+                        help="bench-motion rest phase: batches chained "
+                             "in-jit per dispatch")
     args = parser.parse_args(argv)
 
+    if args.bench_motion > 0:
+        return run_motion_bench(args)
     if args.headless > 0:
         return run_headless(args)
     return run_interactive(args)

@@ -243,15 +243,24 @@ def compute_flip_map(reference_srgb, test_srgb, ppd: float | None = None):
 
 
 def compute_flip(reference_u8, test_u8, ppd: float | None = None,
-                 output_path: str | None = None):
+                 output_path: str | None = None, device: str = "auto"):
     """uint8 image API mirroring computeFlip (image_utils.h:20-81).
 
     Returns (mean_error, max_error); optionally saves a Magma-colormap
-    visualization PNG like the reference.
+    visualization PNG like the reference. device="cpu" pins the computation
+    to the host backend — the remote-TPU evaluate path uses it because the
+    metric runs once per eval and a wedged remote compile of the CSF
+    convolutions (observed round 4/5) costs more than CPU execution.
     """
     ref = np.asarray(reference_u8).astype(np.float32) / 255.0
     test = np.asarray(test_u8).astype(np.float32) / 255.0
-    err = np.asarray(compute_flip_map(ref[..., :3], test[..., :3], ppd))
+    if device == "cpu":
+        import jax
+        with jax.default_device(jax.devices("cpu")[0]):
+            err = np.asarray(compute_flip_map(ref[..., :3], test[..., :3],
+                                              ppd))
+    else:
+        err = np.asarray(compute_flip_map(ref[..., :3], test[..., :3], ppd))
     if output_path:
         save_flip_visualization(err, output_path)
     return float(err.mean()), float(err.max())

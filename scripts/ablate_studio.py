@@ -36,7 +36,14 @@ VARIANTS = {
     "s32-12k-b64": (32, 12000, 65536, 3, "cosine"),
     "s16-24k-b64": (16, 24000, 65536, 3, "cosine"),
     "s32-24k-b64": (32, 24000, 65536, 3, "cosine"),
+    # S=32 unpacked-f32 tables blow the fused kernel's scoped VMEM (21.5M >
+    # 16M at any batch) — S=32 rows train on the XLA masked-matmul path.
+    "s32-24k-b32": (32, 24000, 32768, 3, "cosine"),
+    "s32-48k-b32": (32, 48000, 32768, 3, "cosine"),
 }
+
+XLA_PATH_VARIANTS = {"s32-4k", "s32-12k", "s32-24k", "s32-12k-b64",
+                     "s32-24k-b64", "s32-24k-b32", "s32-48k-b32"}
 
 
 def main():
@@ -66,6 +73,8 @@ def main():
                  var_json, "--steps", str(steps), "--batch-size", str(batch),
                  "--segments-per-ray", str(segs), "--lr-schedule", sched,
                  "--ckpt-dir", ckpt_dir, "--log-every", "200"]
+    if name in XLA_PATH_VARIANTS:
+        train_cmd += ["--fused", "off"]
     if mode in ("both", "train"):
         print("TRAIN:", " ".join(train_cmd), flush=True)
         r = subprocess.run(train_cmd, cwd=ROOT, capture_output=True, text=True)

@@ -17,6 +17,9 @@ def main():
     name = sys.argv[1]
     sublanes, steps, *_ = VARIANTS[name]
     src = f"/tmp/studio_ablate_{name}/ckpt/step_{steps}"
+    if not os.path.isdir(src):
+        # checkpoints rescued into the repo (round 5) ship from there
+        src = os.path.join(STUDIO, "ablate_rescue", f"{name}_step_{steps}")
     assert os.path.isdir(src), src
     dst_dir = os.path.join(STUDIO, "lane_ckpt")
     dst = os.path.join(dst_dir, f"step_{steps}")
