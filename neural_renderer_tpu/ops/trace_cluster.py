@@ -45,6 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 CLUSTER_SIZE = 256
 BLOCK_RAYS = 512
+# 128 measured best for the cluster kernels (round-5 A/B,
+# scripts/bench_sweep_frame.py): the 8-accumulator sweep pays more for
+# [512, 256] live state than it saves in loop trips (28.0 vs 24.8 ns/ray
+# in-frame), and the trace kernel is width-insensitive (105 vs 109 ns/ray
+# on the knot) — unlike the dense kernels, whose width-512 tiles win 1.5x.
 TRI_TILE = 128
 MIN_T = 1e-6
 TRI_EPSILON = 1e-8

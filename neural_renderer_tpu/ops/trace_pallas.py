@@ -23,7 +23,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_RAYS = 512
-TRI_TILE = 128
+# 512-wide triangle tiles: the round-5 kernel ablation
+# (scripts/ablate_trace_kernel.py) measured 24.6 ps/pair at width 512 vs
+# 37.1 at the original 128 (bit-exact, same tie-break) — fewer tile-loop
+# iterations and fewer accumulator read-modify-write passes per pair. Width
+# 1024 fails to compile (Mosaic). Callers pad triangle arrays to TRI_TILE
+# multiples, so the constant propagates everywhere.
+TRI_TILE = 512
 MIN_T = 1e-6
 TRI_EPSILON = 1e-8
 

@@ -141,6 +141,9 @@ def make_kernel(variant: str, block: int, tile: int, num_tiles: int):
     return kernel
 
 
+INTERPRET = os.environ.get("NR_ABLATE_INTERPRET") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("variant", "block", "tile",
                                              "num_tiles"))
 def trace_variant(origins, dirs, tris_packed, variant: str, block: int,
@@ -149,6 +152,7 @@ def trace_variant(origins, dirs, tris_packed, variant: str, block: int,
     out = pl.pallas_call(
         make_kernel(variant, block, tile, num_tiles),
         grid=(n // block,),
+        interpret=INTERPRET,
         in_specs=[
             pl.BlockSpec((3, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -167,19 +171,117 @@ def trace_variant(origins, dirs, tris_packed, variant: str, block: int,
     return out[0], jax.lax.bitcast_convert_type(out[1], jnp.int32)
 
 
+def _mt_variant_fn(variant: str):
+    """A drop-in for trace_pallas._mt_tile_t computing the `variant` math —
+    used to re-trace the PRODUCTION sweep kernel with patched tile math."""
+    def fn(o_ref, d_ref, tb):
+        return _mt_tile(o_ref, d_ref, tb, variant)
+    return fn
+
+
+def run_sweep_family(variants, n, reps):
+    """Time the production dual-mesh dual-facing sweep (sweep_shells_pallas,
+    the headline frame's hottest kernel: 44.8 ns/ray of a ~131 ns/ray frame)
+    with variant tile math patched in. Workload = the bench sphere's shells
+    (2304 + 2304 tris), camera-style rays."""
+    import neural_renderer_tpu.ops.trace_pallas as tp
+    from make_example_scene import outward_sphere
+
+    outer = outward_sphere(24, 48, 1.15).to_arrays()
+    inner = outward_sphere(24, 48, 0.85).to_arrays()
+
+    width = tp.TRI_TILE
+
+    def pad_tiles(tpk):
+        t = tpk.shape[1]
+        pad = -(-t // width) * width - t
+        return np.pad(np.asarray(tpk), ((0, 0), (0, pad)))
+
+    to = pad_tiles(outer.tris_packed)
+    ti = pad_tiles(inner.tris_packed)
+    tris = jnp.asarray(np.concatenate([to, ti], axis=1))
+    n_outer_tiles = to.shape[1] // width
+    n_tiles = tris.shape[1] // width
+
+    rng = np.random.default_rng(0)
+    w = int(np.sqrt(n * 16 / 9))
+    h = -(-n // w)
+    xs = (np.arange(w) / w - 0.5) * 1.2
+    ys = (np.arange(h) / h - 0.5) * 0.675
+    gx, gy = np.meshgrid(xs, ys)
+    d = np.stack([gx.ravel()[:n], gy.ravel()[:n], -np.ones(n)], axis=0)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    o = np.broadcast_to(np.array([0.0, 0.0, 3.0])[:, None], (3, n)).copy()
+    oj = jnp.asarray(o, jnp.float32)
+    dj = jnp.asarray(d, jnp.float32)
+
+    ref = None
+    orig_mt = tp._mt_tile_t
+    for v in variants:
+        name = v[len("sweep_"):] if v.startswith("sweep_") else "current"
+        fwd2 = name != "nof2"
+        mxu = name == "mxu"
+        if name in ("nodiv", "recip", "recipx", "bf16"):
+            tp._mt_tile_t = _mt_variant_fn(name)
+        else:
+            tp._mt_tile_t = orig_mt
+        tp._sweep_shells_pallas.clear_cache()
+
+        @jax.jit
+        def run(o_in, fwd2=fwd2, mxu=mxu):
+            def body(i, acc):
+                out = tp.sweep_shells_pallas(o_in + acc * 1e-12, dj, tris,
+                                             n_outer_tiles, n_tiles,
+                                             with_fwd2=fwd2, mxu=mxu,
+                                             interpret=INTERPRET)
+                return acc + out[0, 0]
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        try:
+            float(run(oj))
+        except Exception as e:
+            print(f"{v:12s}: FAILED {type(e).__name__}: {str(e)[:120]}")
+            tp._mt_tile_t = orig_mt
+            continue
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(oj))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        out = np.asarray(tp.sweep_shells_pallas(
+            oj, dj, tris, n_outer_tiles, n_tiles, with_fwd2=fwd2, mxu=mxu,
+            interpret=INTERPRET))
+        if ref is None and name == "current":
+            ref = out
+        err = (np.max(np.abs(np.minimum(out[:4], 1e30) -
+                             np.minimum(ref[:4], 1e30)))
+               if ref is not None else float("nan"))
+        print(f"{v:12s}: {best * 1e3:7.2f} ms/call  "
+              f"{best / n * 1e9:6.1f} ns/ray  {n / best / 1e6:7.2f} Mrays/s  "
+              f"maxdiff {err:.2e}", flush=True)
+        tp._mt_tile_t = orig_mt
+        tp._sweep_shells_pallas.clear_cache()
+
+
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
 
     def opt(name, default):
-        return int(sys.argv[sys.argv.index(name) + 1]) \
-            if name in sys.argv else default
+        if name not in argv:
+            return default
+        i = argv.index(name)
+        val = int(argv[i + 1])
+        del argv[i:i + 2]
+        return val
 
     num_tris = opt("--tris", 9216)
     n = opt("--rays", 262144)
     reps = opt("--reps", 8)
+    args = argv
 
     from neural_renderer_tpu.ops.trace_pallas import (TRI_TILE,
                                                       trace_dense_pallas)
+    prod_tile = TRI_TILE  # production rows must pad by the REAL constant
     from neural_renderer_tpu.ops.trace_mxu import trace_dense_mxu_pallas
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from make_example_scene import outward_sphere
@@ -203,7 +305,7 @@ def main():
     oj = jnp.asarray(o.T, jnp.float32)
     dj = jnp.asarray(d.T, jnp.float32)
 
-    tp128, tiles128, tpad128 = padded(128)
+    tp128, tiles128, tpad128 = padded(prod_tile)
     ref_t, ref_id = trace_dense_pallas(oj, dj, tp128, 0, tiles128)
     ref_t = np.asarray(ref_t)
     ref_hit = ref_t < 1e30
@@ -243,7 +345,11 @@ def main():
 
     variants = args or ["current", "probe", "local", "nodiv", "recip",
                         "recipx", "bf16", "b256", "b1024", "t256",
-                        "mxu_hi", "mxu_hi3", "mxu_lo"]
+                        "mxu_hi", "mxu_hi3", "mxu_lo", "sweep", "sweep_nof2",
+                        "sweep_nodiv", "sweep_recipx", "sweep_bf16"]
+    sweep_vs = [v for v in variants
+                if v == "sweep" or v.startswith("sweep_")]
+    variants = [v for v in variants if v not in sweep_vs]
     print(f"workload: {t_real} tris (pad {tpad128}) x {n} rays x {reps} reps")
     for v in variants:
         if v == "current":
@@ -296,10 +402,30 @@ def main():
                 block, var = 1024, "local"
             elif v == "t256":
                 tile, var = 256, "local"
+            elif v == "t512":
+                tile, var = 512, "local"
+            elif v == "b256t256":
+                block, tile, var = 256, 256, "local"
+            elif v == "t256probe":
+                tile, var = 256, "probe"
+            elif v == "t256nodiv":
+                tile, var = 256, "nodiv"
+            elif v == "t1024":
+                tile, var = 1024, "local"
+            elif v == "b1024t512":
+                block, tile, var = 1024, 512, "local"
+            elif v == "t512probe":
+                tile, var = 512, "probe"
             tpv, tilesv, tpadv = padded(tile)
             timed(lambda o_in, var=var, block=block, tile=tile, tpv=tpv,
                   tilesv=tilesv: trace_variant(o_in, dj, tpv, var, block,
                                                tile, tilesv), v, tpadv)
+
+    if sweep_vs:
+        if "sweep" not in sweep_vs:
+            sweep_vs.insert(0, "sweep")  # the diff reference
+        print(f"sweep family (production dual-shell kernel, {n} rays):")
+        run_sweep_family(sweep_vs, n, reps)
 
 
 if __name__ == "__main__":
