@@ -31,7 +31,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCENES = {
     "configs/sphere/sphere_lane.json": (39.5, 40.91),
     "configs/knot/knot_lane.json": (29.5, 30.72),
-    "configs/studio/studio_lane.json": (20.8, 21.86),
+    "configs/studio/studio_lane.json": (21.0, 22.02),
 }
 
 
