@@ -30,6 +30,13 @@ BLOCK_RAYS = 512
 # 1024 fails to compile (Mosaic). Callers pad triangle arrays to TRI_TILE
 # multiples, so the constant propagates everywhere.
 TRI_TILE = 512
+# The dual-mesh sweep kernel carries FIVE per-lane accumulators (strict
+# fwd2 pair + backward + inner pair) where the trace kernel carries two; at
+# width 512 its scoped-VMEM stack hits 16.74 MB vs the 16 MB limit on SOME
+# shapes (compile-dependent — the 2.07M-ray bench shapes fit, the 2048-ray
+# test shapes did not). Width 256 keeps the measured tile-width win (+21%
+# over 128 in the ablation) with ~2.6 MB of accumulators.
+SWEEP_TRI_TILE = 256
 MIN_T = 1e-6
 TRI_EPSILON = 1e-8
 
@@ -89,7 +96,7 @@ def _sweep_kernel(mask_ref, o_ref, d_ref, tri_ref, out_ref, *,
                   num_outer_tiles: int, num_tiles: int, with_fwd2: bool,
                   mxu: bool = False):
     """Dual-mesh dual-facing sweep: tris_packed = [outer | inner] (each padded
-    to TRI_TILE). Emits per-ray nearest FORWARD and BACKWARD hit t for each
+    to SWEEP_TRI_TILE). Emits per-ray nearest FORWARD and BACKWARD hit t for each
     mesh in one pass, plus the SECOND-nearest outer forward t — out rows =
     (outer_fwd, outer_bwd, inner_fwd, inner_bwd, outer_fwd2), 1e30 on miss.
     One sweep replaces up to five separate trace_mesh launches in the shell
@@ -197,7 +204,7 @@ def _sweep_block_body(o_ref, d_ref, tri_ref, out_ref, *,
 
         def tile(c, state):
             of, ob, inf_, inb, of2 = state
-            tb = tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)]
+            tb = tri_ref[:, pl.ds(c * SWEEP_TRI_TILE, SWEEP_TRI_TILE)]
             # Matmul pair math (ops/trace_mxu.py); facing = -det.
             t, ok, det = pair_eval_raw(F, tb)
             valid = ok & (t > MIN_T)
@@ -234,12 +241,13 @@ def _sweep_block_body(o_ref, d_ref, tri_ref, out_ref, *,
     # log-width shuffle cascades per 128-triangle tile) were ~1/3 of the old
     # kernel's time. Outer and inner tiles run as separate static-range
     # loops so no per-tile is_outer selects are paid.
-    big = jnp.full((BLOCK_RAYS, TRI_TILE), 1e30, jnp.float32)
+    big = jnp.full((BLOCK_RAYS, SWEEP_TRI_TILE), 1e30, jnp.float32)
 
     def outer_tile(c, state):
         m1f, m2f, m1b = state
         t, det = _mt_tile_t(o_ref, d_ref,
-                            tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)])
+                            tri_ref[:, pl.ds(c * SWEEP_TRI_TILE,
+                                             SWEEP_TRI_TILE)])
         tf = jnp.where(det > 0.0, t, 1e30)
         if with_fwd2:
             m1f, m2f = _strict_pair_update(m1f, m2f, tf)
@@ -251,7 +259,8 @@ def _sweep_block_body(o_ref, d_ref, tri_ref, out_ref, *,
     def inner_tile(c, state):
         i1f, i1b = state
         t, det = _mt_tile_t(o_ref, d_ref,
-                            tri_ref[:, pl.ds(c * TRI_TILE, TRI_TILE)])
+                            tri_ref[:, pl.ds(c * SWEEP_TRI_TILE,
+                                             SWEEP_TRI_TILE)])
         i1f = jnp.minimum(i1f, jnp.where(det > 0.0, t, 1e30))
         i1b = jnp.minimum(i1b, jnp.where(det < 0.0, t, 1e30))
         return i1f, i1b
@@ -277,7 +286,7 @@ def sweep_shells_pallas(origins, dirs, tris_packed, num_outer_tiles: int,
                         num_tiles: int, with_fwd2: bool = False,
                         mxu: bool | None = None, interpret: bool = False,
                         block_mask=None):
-    """origins/dirs [3, Npad]; tris_packed [9, num_tiles*TRI_TILE] =
+    """origins/dirs [3, Npad]; tris_packed [9, num_tiles*SWEEP_TRI_TILE] =
     outer tris (num_outer_tiles tiles) then inner tris. Returns [5, Npad]:
     (outer_fwd_t, outer_bwd_t, inner_fwd_t, inner_bwd_t, outer_fwd2_t).
 

@@ -276,15 +276,16 @@ def sweep_shells(outer, inner, origins, dirs,
                           one(inner, BACKWARD_ONLY, inner_empty),
                           of2)
 
-    from .trace_pallas import BLOCK_RAYS, TRI_TILE, sweep_shells_pallas
+    from .trace_pallas import (BLOCK_RAYS, SWEEP_TRI_TILE,
+                               sweep_shells_pallas)
 
     def pad_tris(mesh):
         tris = mesh.tris_packed
         num = tris.shape[1]
-        pad = -(-num // TRI_TILE) * TRI_TILE
+        pad = -(-num // SWEEP_TRI_TILE) * SWEEP_TRI_TILE
         if pad != num:
             tris = jnp.pad(tris, ((0, 0), (0, pad - num)))
-        return tris, pad // TRI_TILE
+        return tris, pad // SWEEP_TRI_TILE
 
     outer_tp, outer_tiles = pad_tris(outer)
     if inner_empty:

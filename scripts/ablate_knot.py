@@ -96,7 +96,9 @@ def main():
            "final_loss": final_loss,
            "train_wall_s": round(train_wall, 1),
            "eval_wall_s": round(eval_wall, 1),
-           "mseg_per_s": round(steps * batch * segs / max(train_wall, 1e-9)
+           # batch = SEGMENTS per step (sample_segment_batch semantics) —
+           # do not multiply by segs
+           "mseg_per_s": round(steps * batch / max(train_wall, 1e-9)
                                / 1e6, 2) if train_wall else None}
     with open(LOG, "a") as f:
         f.write(json.dumps(row) + "\n")

@@ -190,7 +190,7 @@ def run_sweep_family(variants, n, reps):
     outer = outward_sphere(24, 48, 1.15).to_arrays()
     inner = outward_sphere(24, 48, 0.85).to_arrays()
 
-    width = tp.TRI_TILE
+    width = getattr(tp, 'SWEEP_TRI_TILE', tp.TRI_TILE)
 
     def pad_tiles(tpk):
         t = tpk.shape[1]

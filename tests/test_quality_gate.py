@@ -30,7 +30,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # scene config -> (psnr_floor_db, measured_db_at_recording)
 SCENES = {
     "configs/sphere/sphere_lane.json": (39.5, 40.91),
-    "configs/knot/knot_lane.json": (29.5, 30.72),
+    "configs/knot/knot_lane.json": (31.2, 32.45),
     "configs/studio/studio_lane.json": (21.0, 22.02),
 }
 

@@ -224,9 +224,10 @@ def test_dense_sweep_kernel_interpret(mxu, monkeypatch):
 
     def pad_tiles(m):
         tp = m.tris_packed
-        pad = -(-tp.shape[1] // tp_mod.TRI_TILE) * tp_mod.TRI_TILE
+        w = tp_mod.SWEEP_TRI_TILE  # the sweep kernel's own tile width
+        pad = -(-tp.shape[1] // w) * w
         return (jnp.pad(tp, ((0, 0), (0, pad - tp.shape[1]))),
-                pad // tp_mod.TRI_TILE)
+                pad // w)
 
     tpo, to = pad_tiles(outer)
     tpi, ti = pad_tiles(inner)
